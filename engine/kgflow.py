@@ -1,0 +1,173 @@
+"""Shared pure flow logic: per-sentence processing (the reference's five
+CLI scenarios, nemo.py:433-464) and per-conversation linking + relation
+extraction (the KG generalization required by the north rule).
+
+Both the distributed Ray pipeline (engine.pipeline) and the
+single-process oracle (engine.oracle) call exactly these functions; the
+oracle-vs-distributed comparison therefore validates the distributed
+dataflow (ordering, shuffles, alignment, dedup), not the math.
+
+Scenario map (reference -> produced labels, all per turn):
+  token_single          run_ner_model single        nemo.py:433-436
+  multi_align           token-multi soft-merged onto pruned-MD morphemes
+                        (run_multi_align_hybrid)    nemo.py:278-312
+  morph_yap             morph NER on unpruned MD    nemo.py:276-305
+  morph_hybrid          morph NER on NER-pruned MD  nemo.py:315-373
+  morph_hybrid_tok      morph_hybrid aligned back to tokens
+                        (align_tokens=True path)    nemo.py:353-362
+"""
+
+from __future__ import annotations
+
+from .ops.align import morph_to_token_align, soft_merge_bio_labels
+from .ops.lattice import build_sentence_lattice, md_select, prune_lattice
+from .ops.spans import mentions_with_occ
+from .ops.tokenize import tokenize
+from .scorers import RELATIONS, MorphScorer, TokenMultiScorer, TokenSingleScorer
+
+# relation phrases ordered: longest first, then lexicographic — the scan
+# below is first-match-wins, so this order is part of the semantics
+_REL_ORDER = sorted(RELATIONS, key=lambda p: (-len(p), p))
+MAX_REL_GAP = 4
+
+SCENARIOS = ("token_single", "multi_align", "morph_yap", "morph_hybrid", "morph_hybrid_tok")
+
+
+class SentenceProcessor:
+    """Holds the three scorers; lives in a Ray actor's __init__ so state
+    is built once per worker (A1-A4 analog)."""
+
+    def __init__(self) -> None:
+        self.single = TokenSingleScorer()
+        self.multi = TokenMultiScorer()
+        self.morph = MorphScorer()
+
+    def process(self, text: str) -> dict:
+        tokens = tokenize(text)
+        labels_single = self.single.label(tokens)
+        labels_multi = self.multi.label(tokens)
+
+        lattice = build_sentence_lattice(tokens)
+        pruned = prune_lattice(lattice, labels_multi)
+        morphs = md_select(pruned)            # [(form, token_id)] hybrid track
+        morphs_yap = md_select(lattice)       # un-pruned track (morph_yap)
+
+        forms = [f for f, _ in morphs]
+        labels_morph = self.morph.label(forms)
+        labels_morph_yap = self.morph.label([f for f, _ in morphs_yap])
+        labels_multi_align = [b for _, b in soft_merge_bio_labels(labels_multi, morphs)]
+        labels_tok = morph_to_token_align(labels_morph, morphs, len(tokens))
+
+        return {
+            "tokens": tokens,
+            "labels_single": labels_single,
+            "labels_multi": labels_multi,
+            "morph_forms": forms,
+            "morph_token_ids": [t for _, t in morphs],
+            "yap_forms": [f for f, _ in morphs_yap],
+            "labels_morph": labels_morph,
+            "labels_morph_yap": labels_morph_yap,
+            "labels_multi_align": labels_multi_align,
+            "labels_tok_from_morph": labels_tok,
+        }
+
+
+def scenario_mentions(rec: dict) -> dict[str, list[tuple[str, str, int, int, int]]]:
+    """Per scenario: [(surface, label, start, end, occ)] for one turn."""
+    return {
+        "token_single": mentions_with_occ(rec["tokens"], rec["labels_single"]),
+        "multi_align": mentions_with_occ(rec["morph_forms"], rec["labels_multi_align"]),
+        "morph_yap": mentions_with_occ(rec["yap_forms"], rec["labels_morph_yap"]),
+        "morph_hybrid": mentions_with_occ(rec["morph_forms"], rec["labels_morph"]),
+        "morph_hybrid_tok": mentions_with_occ(rec["tokens"], rec["labels_tok_from_morph"]),
+    }
+
+
+def relation_candidates(
+    forms: list[str], ments: list[tuple[str, str, int, int, int]]
+) -> list[tuple[int, str, int]]:
+    """Intra-turn relation detection between ADJACENT mention pairs: scan
+    the lowercased morpheme gap (<= MAX_REL_GAP) left-to-right; at each
+    position try phrases longest-first; first match wins. Returns
+    [(left_mention_index, predicate, right_mention_index)]."""
+    out = []
+    for i in range(len(ments) - 1):
+        _s1, _l1, _st1, end1, _o1 = ments[i]
+        _s2, _l2, st2, _e2, _o2 = ments[i + 1]
+        gap = [f.lower() for f in forms[end1:st2]]
+        if not gap or len(gap) > MAX_REL_GAP:
+            continue
+        pred = None
+        for pos in range(len(gap)):
+            for phrase in _REL_ORDER:
+                if tuple(gap[pos : pos + len(phrase)]) == phrase:
+                    pred = RELATIONS[phrase]
+                    break
+            if pred:
+                break
+        if pred:
+            out.append((i, pred, i + 1))
+    return out
+
+
+def resolve_conversation(turns: list[dict]) -> tuple[list[dict], list[dict]]:
+    """Conversation-scoped entity linking + triple emission.
+
+    ``turns``: per-turn dicts sorted by turn_idx with keys
+      conv_id, turn_idx, sent_id, mentions (morph_hybrid level:
+      [(surface, label, start, end, occ)]), rels ([(i, pred, j)]).
+
+    Linking walk (deterministic, ORDER-DEPENDENT — this is why the
+    groupby(conv_id)+sort(turn_idx) reassembly shuffle exists): an
+    ambiguous alias resolves to the candidate canon seen EARLIEST so far
+    in this conversation, else to the lexicographically-smallest
+    candidate; unknown surfaces get a nil key (engine.link).
+
+    Returns (entity rows, triple rows). Triple subj/obj are canon ids.
+    """
+    from .link import ALIAS_INDEX, nil_key
+
+    seen: dict[str, int] = {}
+    entities: list[dict] = []
+    triples: list[dict] = []
+    for turn in turns:
+        canons: list[str] = []
+        for surface, label, start, end, occ in turn["mentions"]:
+            cands = ALIAS_INDEX.get(surface.lower())
+            if not cands:
+                canon = nil_key(surface)
+                score = 0.0
+            elif len(cands) == 1:
+                canon, score = cands[0], 1.0
+            else:
+                seen_cands = [c for c in cands if c in seen]
+                if seen_cands:
+                    canon = min(seen_cands, key=lambda c: seen[c])
+                else:
+                    canon = cands[0]
+                score = 0.9
+            if not canon.startswith("nil:") and canon not in seen:
+                seen[canon] = len(seen)
+            canons.append(canon)
+            entities.append(
+                {
+                    "mention_id": f"{turn['sent_id']}:{start}",
+                    "conv_id": turn["conv_id"],
+                    "turn_idx": turn["turn_idx"],
+                    "surface": surface,
+                    "label": label,
+                    "canon_id": canon,
+                    "score": score,
+                }
+            )
+        for i, pred, j in turn["rels"]:
+            triples.append(
+                {
+                    "subj": canons[i],
+                    "pred": pred,
+                    "obj": canons[j],
+                    "conv_id": turn["conv_id"],
+                    "turn_idx": turn["turn_idx"],
+                }
+            )
+    return entities, triples

@@ -1,0 +1,191 @@
+"""Morphological lattice operators.
+
+Replaces the reference's external YAP analyzer (invoked at
+nemo.py:229-244 / api_main.py:98-130) with an in-process deterministic
+rule-table analyzer, and re-implements the reference's signature hybrid
+step — NER-predicted morpheme counts PRUNE the ambiguous lattice before
+disambiguation:
+
+  get_valid_edges   semantics of nemo.py:78-97  (path enumeration with
+                    length == biose_count+1, non_o_only short-circuit,
+                    keep_all_if_no_valid fallback)
+  prune_lattice     semantics of nemo.py:108-114 (semi-join on
+                    (token_id, id1, id2) edge membership)
+  md_select         deterministic stand-in for YAP joint/MD
+                    (nemo.py:238-244): picks ONE path per token.
+
+Everything is per-sentence/per-token — a lattice never crosses a row, so
+in the Ray pipeline these run inside ``map_batches`` with no shuffle
+(SURVEY.md J1-J2).
+
+Rule tables (drive the synthetic morphology — engine.synth fuses
+prefixes onto surface forms with an apostrophe):
+
+  MA_PREFIXES      prefixes the analyzer can split off.
+  MANDATORY_SPLIT  prefixes that, as the token's first part, remove the
+                   whole-token edge (the token MUST segment) — the
+                   definite-article analog.
+  (The token-multi scorer knows only MULTI_PREFIXES, a strict subset —
+  see engine.scorers — so count mispredictions occur deterministically
+  and exercise the keep_all_if_no_valid fallback and all three
+  soft-merge cases, like real model errors do in the reference.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+MA_PREFIXES = frozenset({"be", "le", "ve", "mi", "she", "ha"})
+MANDATORY_SPLIT = frozenset({"ha"})
+
+
+@dataclass(frozen=True)
+class Edge:
+    id1: int
+    id2: int
+    form: str
+    token_id: int  # 1-based, as in the reference lattices
+
+
+def candidate_segmentations(token: str) -> list[list[str]]:
+    """All candidate morpheme sequences for one surface token.
+
+    parts = token split on apostrophes; depth-d candidate splits off the
+    first d parts (each must be in MA_PREFIXES); depth 0 = whole token,
+    absent when the first part is in MANDATORY_SPLIT.
+    """
+    parts = token.split("'")
+    cands: list[list[str]] = []
+    if len(parts) == 1 or parts[0] not in MANDATORY_SPLIT:
+        cands.append([token])
+    if len(parts) > 1:
+        for d in range(1, len(parts)):
+            if all(p in MA_PREFIXES for p in parts[:d]):
+                cands.append(parts[:d] + ["'".join(parts[d:])])
+            else:
+                break
+    if not cands:  # mandatory-split first part that is somehow unsplittable
+        cands.append([token])
+    return cands
+
+
+def build_sentence_lattice(tokens: list[str]) -> list[Edge]:
+    """Ambiguous lattice for one sentence as a flat edge list with
+    per-sentence node numbering (the Arrow list<struct> analog of the
+    8-col TSV at nemo.py:100-105). All candidates of a token share its
+    start and end node; intermediates are unique per candidate."""
+    edges: list[Edge] = []
+    node = 0
+    for tid, token in enumerate(tokens, start=1):
+        cands = candidate_segmentations(token)
+        n_intermediate = sum(len(c) - 1 for c in cands)
+        start, end = node, node + n_intermediate + 1
+        inter = start + 1
+        for cand in cands:
+            prev = start
+            for i, form in enumerate(cand):
+                last = i == len(cand) - 1
+                nxt = end if last else inter
+                if not last:
+                    inter += 1
+                edges.append(Edge(prev, nxt, form, tid))
+                prev = nxt
+        node = end
+    return edges
+
+
+def _paths(edges: list[Edge]) -> list[list[Edge]]:
+    """All simple source->sink paths through one token's tiny DAG.
+    min node = first edge's id1, max node = last edge's id2 (mirrors the
+    groupby-first/last convention at nemo.py:83-84)."""
+    if not edges:
+        return []
+    src, sink = edges[0].id1, edges[-1].id2
+    adj: dict[int, list[Edge]] = {}
+    for e in edges:
+        adj.setdefault(e.id1, []).append(e)
+    out: list[list[Edge]] = []
+    stack: list[tuple[int, list[Edge]]] = [(src, [])]
+    while stack:
+        n, path = stack.pop()
+        if n == sink:
+            out.append(path)
+            continue
+        for e in adj.get(n, []):
+            stack.append((e.id2, path + [e]))
+    out.sort(key=lambda p: tuple(e.form for e in p))
+    return out
+
+
+def get_valid_edges(
+    token_edges: dict[int, list[Edge]],
+    biose: list[str],
+    counts: list[int],
+    non_o_only: bool = False,
+    keep_all_if_no_valid: bool = True,
+) -> set[tuple[int, int, int]]:
+    """Per token: keep edges on paths whose morpheme count matches the
+    NER-predicted biose_count (path node count == biose_count+1, i.e.
+    edge count == biose_count). Tokens whose multi-tag carries no
+    category are unconstrained when non_o_only=True; if no path matches
+    and keep_all_if_no_valid, every path is kept (nemo.py:78-97)."""
+    valid: set[tuple[int, int, int]] = set()
+    for tid, edges in token_edges.items():
+        tag, cnt = biose[tid - 1], counts[tid - 1]
+        paths = _paths(edges)
+        if non_o_only and "-" not in tag:
+            keep = paths
+        else:
+            keep = [p for p in paths if len(p) == cnt]
+            if keep_all_if_no_valid and not keep:
+                keep = paths
+        for p in keep:
+            for e in p:
+                valid.add((tid, e.id1, e.id2))
+    return valid
+
+
+def group_edges_by_token(edges: list[Edge]) -> dict[int, list[Edge]]:
+    out: dict[int, list[Edge]] = {}
+    for e in edges:
+        out.setdefault(e.token_id, []).append(e)
+    return out
+
+
+def prune_lattice(
+    edges: list[Edge],
+    multi_labels: list[str],
+    keep_all_if_no_valid: bool = True,
+) -> list[Edge]:
+    """Semi-join: keep lattice edges in the valid-edge set derived from
+    the token-multi NER prediction (nemo.py:108-114; counts per
+    nemo.py:66-75 = len(tag.split('^')))."""
+    counts = [len(t.split("^")) for t in multi_labels]
+    by_tok = group_edges_by_token(edges)
+    valid = get_valid_edges(by_tok, multi_labels, counts, non_o_only=False,
+                            keep_all_if_no_valid=keep_all_if_no_valid)
+    return [e for e in edges if (e.token_id, e.id1, e.id2) in valid]
+
+
+def md_select(edges: list[Edge]) -> list[tuple[str, int]]:
+    """Morphological disambiguation: ONE path per token from the (pruned)
+    lattice. Deterministic policy (stand-in for YAP's scored joint
+    decode, nemo.py:238-244): most-split path, tie-broken by
+    lexicographically smallest form sequence. Returns
+    [(form, token_id), ...] in sentence order."""
+    out: list[tuple[str, int]] = []
+    for tid, tok_edges in sorted(group_edges_by_token(edges).items()):
+        paths = _paths(tok_edges)  # lex-sorted by forms
+        best = max(paths, key=len)  # first (lex-smallest) among longest
+        out.extend((e.form, tid) for e in best)
+    return out
+
+
+def analyze_prune_md(
+    tokens: list[str], multi_labels: list[str]
+) -> tuple[list[Edge], list[Edge], list[tuple[str, int]]]:
+    """Full morph track for one sentence: MA -> prune -> MD.
+    Returns (ambiguous lattice, pruned lattice, morphemes)."""
+    lat = build_sentence_lattice(tokens)
+    pruned = prune_lattice(lat, multi_labels)
+    return lat, pruned, md_select(pruned)

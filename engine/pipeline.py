@@ -1,0 +1,399 @@
+"""The flagship distributed pipeline: Parquet transcripts -> tokenize ->
+NER (token-single / token-multi) -> ambiguous-lattice build -> NER-count
+pruning -> MD -> morph NER -> alignments -> mentions -> conversation
+reassembly (groupby(conv_id) + in-group sort(turn_idx)) -> entity
+linking -> union-find canonicalization -> (subj, pred, obj) triple
+materialization with exact dedup -> partitioned, resumable Parquet.
+
+Ray-Data-first design (SURVEY.md sections 4, 7):
+  - per-turn stages are ONE fused ``map_batches`` actor stage
+    (tokenizers + 3 scorers + lattice ops live in actor __init__ state;
+    a torch scorer would slot into the same class) — no shuffle.
+  - the ONLY wide operations are: the conversation reassembly
+    (groupby(conv_id)), the canonicalization label propagation
+    (engine.canon, keyed on node id), and the triple dedup
+    (groupby(subj,pred,obj) with a map-side pre-dedup combiner).
+  - the reassembly shuffle moves only compact mention-level rows, never
+    text/lattices (columns are projected before the groupby).
+  - the heavy per-turn compute checkpoints per conv-hash bucket with
+    manifests ("pre-triples"); a rerun filters completed buckets out AT
+    THE READ, so resume skips their compute entirely. The global
+    canon+dedup reduce over the (small) pre-triples is cheap to redo.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .canon import components
+from .kgflow import SCENARIOS, SentenceProcessor, relation_candidates, scenario_mentions
+from .schema import MENTIONS, TRIPLES, stable_sent_id
+
+_MENTION_STRUCT = pa.struct(
+    [
+        ("surface", pa.string()),
+        ("label", pa.string()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("occ", pa.int32()),
+    ]
+)
+
+
+def fnv_bucket(s: str, buckets: int) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h % buckets
+
+
+def read_transcripts(path: str):
+    import ray.data as rd
+
+    return rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+
+
+class MentionExtractor:
+    """Actor stage: transcript turns in, flat mention rows out
+    (scorer/analyzer state built once per actor)."""
+
+    def __init__(self, levels: tuple[str, ...] = SCENARIOS) -> None:
+        self.sp = SentenceProcessor()
+        self.levels = levels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("sent_id", "conv_id", "turn_idx", "level",
+                               "surface", "label", "start", "end", "occ")}
+        for conv_id, turn_idx, text in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            rec = self.sp.process(text)
+            sid = stable_sent_id(conv_id, turn_idx)
+            for level, ml in scenario_mentions(rec).items():
+                if level not in self.levels:
+                    continue
+                for surface, label, start, end, occ in ml:
+                    out["sent_id"].append(sid)
+                    out["conv_id"].append(conv_id)
+                    out["turn_idx"].append(turn_idx)
+                    out["level"].append(level)
+                    out["surface"].append(surface)
+                    out["label"].append(label)
+                    out["start"].append(start)
+                    out["end"].append(end)
+                    out["occ"].append(occ)
+        return pa.Table.from_pydict(out, schema=MENTIONS)
+
+
+class KgTurnProcessor:
+    """Actor stage: transcript turns in, compact per-turn linking rows
+    out (only the morph_hybrid scenario is scored — the KG track).
+    Output stays small so the conversation reassembly shuffle moves
+    mention-level data, not text/lattices."""
+
+    def __init__(self) -> None:
+        self.sp = SentenceProcessor()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv_ids, turn_idxs, sids = [], [], []
+        mention_col, ri_col, rp_col, rj_col = [], [], [], []
+        for conv_id, turn_idx, text in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            rec = self.sp.process(text)
+            ments = scenario_mentions(rec)["morph_hybrid"]
+            rels = relation_candidates(rec["morph_forms"], ments)
+            conv_ids.append(conv_id)
+            turn_idxs.append(turn_idx)
+            sids.append(stable_sent_id(conv_id, turn_idx))
+            mention_col.append(
+                [
+                    {"surface": s, "label": l, "start": st, "end": en, "occ": oc}
+                    for s, l, st, en, oc in ments
+                ]
+            )
+            ri_col.append([r[0] for r in rels])
+            rp_col.append([r[1] for r in rels])
+            rj_col.append([r[2] for r in rels])
+        return pa.table(
+            {
+                "conv_id": pa.array(conv_ids, pa.string()),
+                "turn_idx": pa.array(turn_idxs, pa.int32()),
+                "sent_id": pa.array(sids, pa.int64()),
+                "mentions": pa.array(mention_col, pa.list_(_MENTION_STRUCT)),
+                "rel_i": pa.array(ri_col, pa.list_(pa.int32())),
+                "rel_pred": pa.array(rp_col, pa.list_(pa.string())),
+                "rel_j": pa.array(rj_col, pa.list_(pa.int32())),
+            }
+        )
+
+
+def _resolve_group(group: pa.Table, emit: str) -> pa.Table:
+    """Per-conversation: sort by turn_idx (the in-group half of the
+    reassembly contract) then run the order-dependent linking walk."""
+    from .kgflow import resolve_conversation
+
+    group = group.sort_by("turn_idx")
+    turns = []
+    for row in group.to_pylist():
+        turns.append(
+            {
+                "conv_id": row["conv_id"],
+                "turn_idx": row["turn_idx"],
+                "sent_id": row["sent_id"],
+                "mentions": [
+                    (m["surface"], m["label"], m["start"], m["end"], m["occ"])
+                    for m in row["mentions"]
+                ],
+                "rels": list(zip(row["rel_i"], row["rel_pred"], row["rel_j"])),
+            }
+        )
+    entities, triples = resolve_conversation(turns)
+    if emit == "entities":
+        return pa.Table.from_pylist(
+            entities,
+            schema=pa.schema(
+                [
+                    ("mention_id", pa.string()),
+                    ("conv_id", pa.string()),
+                    ("turn_idx", pa.int32()),
+                    ("surface", pa.string()),
+                    ("label", pa.string()),
+                    ("canon_id", pa.string()),
+                    ("score", pa.float64()),
+                ]
+            ),
+        )
+    return pa.Table.from_pylist(triples, schema=TRIPLES)
+
+
+def mentions_dataset(path: str, levels: tuple[str, ...] = SCENARIOS,
+                     concurrency: int | None = None, batch_size: int = 512):
+    return read_transcripts(path).map_batches(
+        MentionExtractor,
+        fn_constructor_kwargs={"levels": levels},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def raw_triples_dataset(path: str, emit: str = "triples",
+                        concurrency: int | None = None, batch_size: int = 512):
+    """transcripts -> per-turn KG rows -> conversation reassembly ->
+    linking walk -> per-conversation entity/triple rows (pre-canon)."""
+    turns = read_transcripts(path).map_batches(
+        KgTurnProcessor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return turns.groupby("conv_id").map_groups(
+        lambda g, emit=emit: _resolve_group(g, emit), batch_format="pyarrow"
+    )
+
+
+def _batch_prededup(t: pa.Table) -> pa.Table:
+    """Map-side combiner for triple dedup: within a batch keep the
+    min-(conv_id, turn_idx) row per (subj, pred, obj) so the wide
+    groupby moves far fewer rows (SURVEY.md D4)."""
+    if t.num_rows == 0:
+        return t
+    t = t.sort_by(
+        [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending"),
+         ("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    keys = pc.binary_join_element_wise(t["subj"], t["pred"], t["obj"], "\x1f")
+    mask = [True] + [
+        keys[i].as_py() != keys[i - 1].as_py() for i in range(1, len(keys))
+    ]
+    return t.filter(pa.array(mask))
+
+
+def _dedup_first(group: pa.Table) -> pa.Table:
+    return _batch_prededup(group).slice(0, 1) if group.num_rows else group
+
+
+def canonicalize_and_dedup(triples_ds, num_partitions: int = 16):
+    """Global canon + exact dedup over (pre-)triples.
+
+    1. collect distinct nil subj/obj keys (a vocabulary-sized set),
+    2. connected components over nil/skeleton/static-canon edges
+       (engine.canon — distributed label propagation),
+    3. broadcast the resulting nil->canon mapping (small side) and
+       rewrite subj/obj in map_batches,
+    4. dedup: map-side pre-dedup combiner, then
+       groupby(subj,pred,obj).map_groups(first-by-provenance).
+    """
+    import ray
+    import ray.data as rd
+
+    from .link import STATIC_CANON_EDGES, nil_edges, resolve_component_root
+
+    def nil_keys_batch(t: pa.Table) -> pa.Table:
+        vals = set()
+        for col in ("subj", "obj"):
+            arr = t[col]
+            m = pc.starts_with(arr, "nil:")
+            for v in arr.filter(m).to_pylist():
+                vals.add(v)
+        return pa.table({"key": sorted(vals)})
+
+    triples_ds = triples_ds.materialize()  # consumed twice (keys + rewrite)
+    nil_keys = list(
+        triples_ds.map_batches(nil_keys_batch, batch_format="pyarrow").unique("key")
+    )
+    mapping: dict[str, str] = {}
+    if nil_keys:
+        edges = STATIC_CANON_EDGES + nil_edges(sorted(nil_keys))
+        edge_ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+        roots = components(edge_ds, num_partitions=num_partitions)
+        for row in roots.iter_rows():
+            if row["node"].startswith("n:"):
+                mapping[row["node"][2:]] = resolve_component_root(row["root"])
+    map_ref = ray.put(mapping)
+
+    def rewrite(t: pa.Table, ref=map_ref) -> pa.Table:
+        m = ray.get(ref)
+        if not m:
+            return _batch_prededup(t)
+        subj = [m.get(v, v) for v in t["subj"].to_pylist()]
+        obj = [m.get(v, v) for v in t["obj"].to_pylist()]
+        t = t.set_column(t.schema.get_field_index("subj"), "subj", pa.array(subj, pa.string()))
+        t = t.set_column(t.schema.get_field_index("obj"), "obj", pa.array(obj, pa.string()))
+        return _batch_prededup(t)
+
+    rewritten = triples_ds.map_batches(rewrite, batch_format="pyarrow")
+    return rewritten.groupby(["subj", "pred", "obj"]).map_groups(
+        _dedup_first, batch_format="pyarrow"
+    )
+
+
+def triples_dataset(path: str, concurrency: int | None = None,
+                    batch_size: int = 512, num_partitions: int = 16):
+    """Full in-memory (lazy) flagship graph: transcripts -> deduped,
+    canonicalized triples Dataset."""
+    raw = raw_triples_dataset(path, "triples", concurrency, batch_size)
+    return canonicalize_and_dedup(raw, num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# resumable checkpointed run (north rule: per-partition lineage + metrics)
+# ---------------------------------------------------------------------------
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "pre_triples", "_manifest")
+
+
+def completed_buckets(out_dir: str) -> set[int]:
+    d = _manifest_dir(out_dir)
+    if not os.path.isdir(d):
+        return set()
+    done = set()
+    for name in os.listdir(d):
+        if name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                m = json.load(f)
+            if m.get("complete"):
+                done.add(int(m["bucket"]))
+    return done
+
+
+def run_kg_pipeline(
+    input_path: str,
+    out_dir: str,
+    num_buckets: int = 32,
+    concurrency: int | None = None,
+    batch_size: int = 512,
+    num_partitions: int = 16,
+) -> dict:
+    """Checkpointed flagship run. Stage A (heavy, resumable): per-turn
+    scoring + conversation resolve, written per conv-hash bucket with a
+    lineage manifest (input path, row counts, complete flag). Stage B
+    (cheap, rerun on resume): global canon + dedup + final partitioned
+    write. Returns run metrics."""
+    import ray.data as rd
+
+    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    done = completed_buckets(out_dir)
+
+    def keep(t: pa.Table) -> pa.Table:
+        if not done:
+            return t
+        mask = [
+            fnv_bucket(c, num_buckets) not in done for c in t["conv_id"].to_pylist()
+        ]
+        return t.filter(pa.array(mask))
+
+    ds = read_transcripts(input_path).map_batches(keep, batch_format="pyarrow")
+    raw = ds.map_batches(
+        KgTurnProcessor, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    ).groupby("conv_id").map_groups(
+        lambda g: _resolve_group(g, "triples"), batch_format="pyarrow"
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket",
+            pa.array([fnv_bucket(c, num_buckets) for c in t["conv_id"].to_pylist()],
+                     pa.int32()),
+        )
+
+    def write_bucket(group: pa.Table, out_dir=out_dir, inp=input_path) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "rows": pa.array([], pa.int64())})
+        b = group["bucket"][0].as_py()
+        pdir = os.path.join(out_dir, "pre_triples", f"bucket={b}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, "part.parquet.tmp")
+        final = os.path.join(pdir, "part.parquet")
+        import pyarrow.parquet as pq
+
+        pq.write_table(group.drop_columns(["bucket"]), tmp)
+        os.replace(tmp, final)  # atomic
+        man = {
+            "bucket": b,
+            "input": inp,
+            "rows": group.num_rows,
+            "complete": True,
+        }
+        mtmp = os.path.join(_manifest_dir(out_dir), f"bucket-{b}.json.tmp")
+        mfin = os.path.join(_manifest_dir(out_dir), f"bucket-{b}.json")
+        with open(mtmp, "w") as f:
+            json.dump(man, f)
+        os.replace(mtmp, mfin)
+        return pa.table({"bucket": [b], "rows": pa.array([group.num_rows], pa.int64())})
+
+    if len(done) < num_buckets:
+        metrics = (
+            raw.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(write_bucket, batch_format="pyarrow")
+        )
+        stage_a = {r["bucket"]: r["rows"] for r in metrics.iter_rows()}
+    else:
+        stage_a = {}
+
+    # Stage B: global reduce over checkpointed pre-triples
+    pre = rd.read_parquet(os.path.join(out_dir, "pre_triples"))
+    final_ds = canonicalize_and_dedup(pre, num_partitions=num_partitions)
+    final_dir = os.path.join(out_dir, "triples")
+    final_ds = final_ds.materialize()
+    n = final_ds.count()
+    final_ds.write_parquet(final_dir)
+    with open(os.path.join(out_dir, "run_manifest.json"), "w") as f:
+        json.dump(
+            {"input": input_path, "triples": n, "new_bucket_rows": stage_a,
+             "resumed_buckets": sorted(done)},
+            f,
+        )
+    return {"triples": n, "new_bucket_rows": stage_a, "resumed_buckets": sorted(done)}
