@@ -83,6 +83,32 @@ def scenario_mentions(rec: dict) -> dict[str, list[tuple[str, str, int, int, int
     }
 
 
+def kg_mentions(rec: dict) -> list[tuple[str, str, int, int, int]]:
+    """Mentions feeding the KG track: the morph_hybrid scenario, plus
+    multi_align mentions whose spans don't overlap any hybrid mention
+    (both live in morph-form coordinates). The extras carry opaque fused
+    surfaces like "xa'Paris" that only the union-find canonicalization
+    (skeleton bridge -> gpe:paris) can resolve — this is where the
+    hybrid's two tracks genuinely complement each other. occ is
+    recomputed over the merged list."""
+    ments = scenario_mentions(rec)
+    base = ments["morph_hybrid"]
+    taken = [(st, en) for _s, _l, st, en, _o in base]
+    merged = list(base)
+    for m in ments["multi_align"]:
+        _s, _l, st, en, _o = m
+        if all(en <= bst or st >= ben for bst, ben in taken):
+            merged.append(m)
+    merged.sort(key=lambda m: (m[2], m[3]))
+    seen: dict[tuple[str, str], int] = {}
+    out = []
+    for surface, label, start, end, _occ in merged:
+        key = (surface, label)
+        seen[key] = seen.get(key, 0) + 1
+        out.append((surface, label, start, end, seen[key]))
+    return out
+
+
 def relation_candidates(
     forms: list[str], ments: list[tuple[str, str, int, int, int]]
 ) -> list[tuple[int, str, int]]:

@@ -13,7 +13,8 @@ from __future__ import annotations
 import pyarrow as pa
 
 from .canon import local_components
-from .kgflow import SentenceProcessor, relation_candidates, resolve_conversation, scenario_mentions
+from .kgflow import (SentenceProcessor, kg_mentions, relation_candidates,
+                     resolve_conversation, scenario_mentions)
 from .link import STATIC_CANON_EDGES, nil_edges, resolve_component_root
 from .schema import stable_sent_id
 
@@ -57,8 +58,8 @@ def run_oracle(transcripts: pa.Table) -> dict[str, pa.Table]:
                 "conv_id": r["conv_id"],
                 "turn_idx": r["turn_idx"],
                 "sent_id": sid,
-                "mentions": ments["morph_hybrid"],
-                "rels": relation_candidates(rec["morph_forms"], ments["morph_hybrid"]),
+                "mentions": kg_mentions(rec),
+                "rels": relation_candidates(rec["morph_forms"], kg_mentions(rec)),
             }
         )
 

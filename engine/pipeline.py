@@ -30,7 +30,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .canon import components
-from .kgflow import SCENARIOS, SentenceProcessor, relation_candidates, scenario_mentions
+from .kgflow import (SCENARIOS, SentenceProcessor, kg_mentions,
+                     relation_candidates, scenario_mentions)
 from .schema import MENTIONS, TRIPLES, stable_sent_id
 
 _MENTION_STRUCT = pa.struct(
@@ -55,6 +56,17 @@ def read_transcripts(path: str):
     import ray.data as rd
 
     return rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+
+
+def _pool_size(concurrency: int | None) -> int:
+    """Actor-pool size for the fused per-turn stage: leave headroom for
+    the read/shuffle/write stages so the pipeline doesn't serialize."""
+    if concurrency is not None:
+        return concurrency
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(2, cpus - 2)
 
 
 class MentionExtractor:
@@ -109,7 +121,7 @@ class KgTurnProcessor:
             batch["text"].to_pylist(),
         ):
             rec = self.sp.process(text)
-            ments = scenario_mentions(rec)["morph_hybrid"]
+            ments = kg_mentions(rec)
             rels = relation_candidates(rec["morph_forms"], ments)
             conv_ids.append(conv_id)
             turn_idxs.append(turn_idx)
@@ -182,7 +194,7 @@ def mentions_dataset(path: str, levels: tuple[str, ...] = SCENARIOS,
         fn_constructor_kwargs={"levels": levels},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_pool_size(concurrency),
     )
 
 
@@ -194,7 +206,7 @@ def raw_triples_dataset(path: str, emit: str = "triples",
         KgTurnProcessor,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_pool_size(concurrency),
     )
     return turns.groupby("conv_id").map_groups(
         lambda g, emit=emit: _resolve_group(g, emit), batch_format="pyarrow"
@@ -245,11 +257,12 @@ def canonicalize_and_dedup(triples_ds, num_partitions: int = 16):
             m = pc.starts_with(arr, "nil:")
             for v in arr.filter(m).to_pylist():
                 vals.add(v)
-        return pa.table({"key": sorted(vals)})
+        return pa.table({"key": pa.array(sorted(vals), pa.string())})
 
     triples_ds = triples_ds.materialize()  # consumed twice (keys + rewrite)
     nil_keys = list(
         triples_ds.map_batches(nil_keys_batch, batch_format="pyarrow").unique("key")
+        or []
     )
     mapping: dict[str, str] = {}
     if nil_keys:
@@ -335,7 +348,7 @@ def run_kg_pipeline(
     ds = read_transcripts(input_path).map_batches(keep, batch_format="pyarrow")
     raw = ds.map_batches(
         KgTurnProcessor, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_pool_size(concurrency),
     ).groupby("conv_id").map_groups(
         lambda g: _resolve_group(g, "triples"), batch_format="pyarrow"
     )

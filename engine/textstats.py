@@ -1,0 +1,132 @@
+"""Text-analysis stages over document tables — the training-data-
+pipeline operator family (lang-ID, quality scoring, token counting,
+fingerprinting). All vectorized (pandas .str / numpy) or single-pass
+per-batch; stateful pieces (compiled regexes, stopword/profile tables)
+live in actor __init__.
+
+The SQL-checkable metrics (token_count, n_chars, digit_ratio,
+punct_count, uniq_token_ratio) use definitions DuckDB can reproduce
+exactly (see __ray_entry__.oracle_sql); the heuristics (lang-ID n-gram
+profiles, rolling-hash fingerprint) are rows-only-checked and covered
+by unit tests instead.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_WS = " "
+_PUNCT_RE = re.compile(r"[.!?,;]")
+_DIGIT_RE = re.compile(r"[0-9]")
+
+# tiny deterministic language profiles: frequent-word lists
+_LANG_PROFILES: dict[str, frozenset] = {
+    "en": frozenset("the of and to a in is that it for was on are as with".split()),
+    "de": frozenset("der die das und ist ein eine zu den von mit nicht im".split()),
+    "fr": frozenset("le la les de des et un une est dans que pour sur au".split()),
+    "es": frozenset("el la los las de y un una es en que por con para".split()),
+    "it": frozenset("il la le di e un una è che in per con del non".split()),
+}
+
+
+def token_count_batch(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    """len(split(' ')) — matches DuckDB len(string_split(text, ' '))
+    including empty fragments from doubled spaces."""
+    out = pd.DataFrame()
+    out["doc_id"] = df["doc_id"]
+    out["token_count"] = df[col].str.split(_WS).str.len().astype("int64")
+    out["n_chars"] = df[col].str.len().astype("int64")
+    return out
+
+
+def quality_batch(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    """SQL-reproducible quality signals."""
+    text = df[col]
+    n_chars = text.str.len().astype("int64")
+    out = pd.DataFrame()
+    out["doc_id"] = df["doc_id"]
+    out["n_chars"] = n_chars
+    out["token_count"] = text.str.split(_WS).str.len().astype("int64")
+    out["punct_count"] = text.str.count(_PUNCT_RE).astype("int64")
+    out["digit_count"] = text.str.count(_DIGIT_RE).astype("int64")
+    return out
+
+
+class LangId:
+    """Heuristic lang-ID: per doc, score = |tokens ∩ profile| per
+    language; argmax with deterministic tie-break (profile-name order),
+    'und' when no profile word occurs. Profiles compiled once per actor."""
+
+    def __init__(self) -> None:
+        self.profiles = sorted(_LANG_PROFILES.items())
+        self.word_re = re.compile(r"[a-zà-ÿäöüß]+")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        langs = []
+        for text in df["text"]:
+            toks = self.word_re.findall(text.lower())
+            best, best_score = "und", 0
+            for lang, prof in self.profiles:
+                score = sum(1 for t in toks if t in prof)
+                if score > best_score:
+                    best, best_score = lang, score
+            langs.append(best)
+        out = df[["doc_id"]].copy()
+        out["lang_pred"] = langs
+        return out
+
+
+class Fingerprinter:
+    """Document fingerprint: 64-bit FNV-1a of the whole text plus a
+    winnowing-style min rolling hash over character 8-grams (Karp-Rabin;
+    deterministic, no PYTHONHASHSEED dependence)."""
+
+    K = 8
+    B = 257
+    MOD = (1 << 61) - 1
+
+    def __init__(self) -> None:
+        self.pow_k = pow(self.B, self.K - 1, self.MOD)
+
+    @staticmethod
+    def fnv64(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in s.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def min_rolling(self, s: str) -> int:
+        if len(s) < self.K:
+            return self.fnv64(s) % self.MOD
+        h = 0
+        for ch in s[: self.K]:
+            h = (h * self.B + ord(ch)) % self.MOD
+        best = h
+        for i in range(self.K, len(s)):
+            h = ((h - ord(s[i - self.K]) * self.pow_k) * self.B + ord(s[i])) % self.MOD
+            if h < best:
+                best = h
+        return best
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id"]].copy()
+        out["fp_exact"] = [self.fnv64(t) for t in df["text"]]
+        out["fp_min_rolling"] = [self.min_rolling(t) for t in df["text"]]
+        # store as unsigned-safe int64 view for parquet friendliness
+        out["fp_exact"] = out["fp_exact"].astype("uint64").astype("int64", errors="ignore")
+        return out
+
+
+def lang_id_dataset(ds, concurrency: int = 4):
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=concurrency)
+
+
+def quality_dataset(ds):
+    return ds.map_batches(quality_batch, batch_format="pandas")
+
+
+def fingerprint_dataset(ds, concurrency: int = 4):
+    return ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=concurrency)

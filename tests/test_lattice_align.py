@@ -1,0 +1,85 @@
+"""Lattice build/prune/MD (nemo.py:78-114 semantics) and the three
+soft-merge mismatch cases (nemo.py:124-135), via the deliberate
+scorer/analyzer knowledge asymmetries (engine.scorers docstring)."""
+
+from engine.kgflow import SentenceProcessor
+from engine.ops.align import morph_to_token_align, soft_merge_bio_labels
+from engine.ops.lattice import (
+    build_sentence_lattice,
+    candidate_segmentations,
+    md_select,
+    prune_lattice,
+)
+
+
+def test_candidate_segmentations():
+    assert candidate_segmentations("Paris") == [["Paris"]]
+    assert candidate_segmentations("be'Paris") == [["be'Paris"], ["be", "Paris"]]
+    # mandatory split: no whole-token candidate
+    assert candidate_segmentations("ha'Acme") == [["ha", "Acme"]]
+    # unknown prefix: only the whole token
+    assert candidate_segmentations("xa'Paris") == [["xa'Paris"]]
+    # two known prefixes: three candidates
+    assert candidate_segmentations("ve'be'Paris") == [
+        ["ve'be'Paris"], ["ve", "be'Paris"], ["ve", "be", "Paris"],
+    ]
+
+
+def test_prune_selects_count_matching_path():
+    tokens = ["be'Paris"]
+    lat = build_sentence_lattice(tokens)
+    assert len(lat) == 3  # whole + 2-edge split
+    # multi predicts 2 morphemes -> split path survives
+    pruned = prune_lattice(lat, ["O^S-GPE"])
+    assert [(e.form) for e in pruned] == ["be", "Paris"]
+    assert md_select(pruned) == [("be", 1), ("Paris", 1)]
+    # multi predicts 1 morpheme -> whole-token path survives
+    pruned1 = prune_lattice(lat, ["S-GPE"])
+    assert [e.form for e in pruned1] == ["be'Paris"]
+
+
+def test_prune_fallback_keeps_all():
+    # scorer predicts 2 morphemes but the analyzer cannot split -> no
+    # valid path -> keep_all_if_no_valid fallback (nemo.py:91-92)
+    tokens = ["xa'Paris"]
+    lat = build_sentence_lattice(tokens)
+    pruned = prune_lattice(lat, ["O^S-GPE"])
+    assert [e.form for e in pruned] == ["xa'Paris"]
+
+
+def test_md_prefers_most_split_then_lex():
+    lat = build_sentence_lattice(["ve'be'Paris"])
+    assert md_select(lat) == [("ve", 1), ("be", 1), ("Paris", 1)]
+
+
+def test_soft_merge_three_cases():
+    # case 1: equal lengths
+    assert soft_merge_bio_labels(["O^S-GPE"], [("be", 1), ("Paris", 1)]) == [
+        ("be", "O"), ("Paris", "S-GPE"),
+    ]
+    # case 2: more morphs than atoms -> pad head with O
+    assert soft_merge_bio_labels(["S-ORG"], [("ha", 1), ("Acme", 1)]) == [
+        ("ha", "O"), ("Acme", "S-ORG"),
+    ]
+    # case 3: more atoms than morphs -> keep the atom tail
+    assert soft_merge_bio_labels(["O^S-GPE"], [("xa'Paris", 1)]) == [
+        ("xa'Paris", "S-GPE"),
+    ]
+
+
+def test_morph_to_token_align():
+    morphs = [("be", 1), ("Tel", 1), ("Aviv", 2)]
+    labels = ["O", "B-GPE", "E-GPE"]
+    assert morph_to_token_align(labels, morphs, 2) == ["B-GPE", "E-GPE"]
+
+
+def test_full_sentence_asymmetries():
+    sp = SentenceProcessor()
+    rec = sp.process("ha'Acme acquired Globex .")
+    # multi scorer misses ha'Acme (count 1), analyzer must split ->
+    # fallback -> morph scorer recovers S-ORG on the Acme morpheme
+    assert rec["labels_multi"][0] == "O"
+    assert rec["morph_forms"][:2] == ["ha", "Acme"]
+    assert rec["labels_morph"][1] == "S-ORG"
+    assert rec["labels_tok_from_morph"][0] == "S-ORG"
+    assert rec["labels_multi_align"][:2] == ["O", "O"]  # case-2 merge
