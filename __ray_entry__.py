@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry()      flagship KG pipeline (transcripts -> deduped canonical
+             triples) at the sf0.001 tier.
+queries()    one callable per implemented operator/pipeline from
+             SURVEY.md section 2 + the training-data extensions.
+oracle_sql() DuckDB-equivalent SQL for the SQL-expressible subset;
+             non-SQL-expressible ops (heuristic lang-ID, MinHash/SimHash,
+             LSH ANN, the deterministic-NER KG pipeline) are rows-only.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init()/ray.shutdown() here or in engine.*.
 """
 
 from __future__ import annotations
@@ -18,27 +17,130 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_REV = "l_extendedprice * (1 - l_discount)"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthesized transcript corpus (input_hint
+    shape) at the sf0.001 tier -> canonical (subj, pred, obj) triples."""
+    from engine.queries import transcripts_path
+    from engine.pipeline import triples_dataset
+
+    return triples_dataset(transcripts_path("/root/testdata/sf0.001"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from engine.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2)        AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2)   AS sum_base_price,
+                   ROUND(SUM({_REV}), 2)            AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 6)        AS avg_qty,
+                   ROUND(AVG(l_discount), 6)        AS avg_disc,
+                   COUNT(*)                         AS count_order
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+        "q3_top_orders": f"""
+            SELECT o.o_orderkey, o.o_orderdate,
+                   ROUND(SUM(l.{_REV.replace('l_', 'l_')}), 2) AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY 1, 2
+            ORDER BY SUM({_REV}) DESC, o.o_orderkey LIMIT 10""",
+        "q5_region_revenue": f"""
+            SELECT r.r_name, n.n_name, ROUND(SUM({_REV}), 2) AS revenue
+            FROM region r
+            JOIN nation n   ON n.n_regionkey = r.r_regionkey
+            JOIN customer c ON c.c_nationkey = n.n_nationkey
+            JOIN orders o   ON o.o_custkey   = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        "top_suppliers": f"""
+            SELECT l.l_suppkey AS s_suppkey, s.s_name,
+                   ROUND(SUM({_REV}), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            GROUP BY 1, 2""",
+        "orders_priority_count": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders GROUP BY 1 ORDER BY 1""",
+        "part_type_stats": """
+            SELECT p_type, COUNT(*) AS n_parts,
+                   ROUND(AVG(p_retailprice), 6) AS avg_price
+            FROM part GROUP BY 1 ORDER BY 1""",
+        "customer_top_spenders": """
+            SELECT o.o_custkey AS c_custkey, c.c_name,
+                   ROUND(SUM(o.o_totalprice), 2) AS total_spent,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+            ORDER BY SUM(o.o_totalprice) DESC, c_custkey LIMIT 20""",
+        "lineitem_filter_agg": """
+            SELECT l_returnflag, COUNT(*) AS n_items,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price
+            FROM lineitem WHERE l_quantity > 30 GROUP BY 1 ORDER BY 1""",
+        "nation_region_names": """
+            SELECT n.n_name, r.r_name
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+            ORDER BY r.r_name, n.n_name""",
+        "events_by_type": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value,
+                   ROUND(MIN(value), 6) AS min_value,
+                   ROUND(MAX(value), 6) AS max_value
+            FROM events GROUP BY 1 ORDER BY 1""",
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1 ORDER BY 1""",
+        "events_top_users": """
+            SELECT user_id, COUNT(*) AS n_events
+            FROM events GROUP BY 1
+            ORDER BY COUNT(*) DESC, user_id LIMIT 10""",
+        "events_sessions": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM e GROUP BY 1 ORDER BY 1""",
+        "doc_stats_by_lang": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM(len(string_split(text, ' ')))                          AS sum_tokens,
+                   SUM(length(regexp_replace(text, '[^.!?,;]', '', 'g')))     AS sum_punct,
+                   SUM(length(regexp_replace(text, '[^0-9]', '', 'g')))       AS sum_digits,
+                   SUM(length(text))                                          AS sum_chars
+            FROM documents GROUP BY 1 ORDER BY 1""",
+        "dedup_exact_docs": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY doc_id""",
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS qi, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 3),
+                 s AS (SELECT q.qi, e.vec_id,
+                              list_cosine_similarity(
+                                  q.qe, CAST(e.embedding AS DOUBLE[])) AS raw
+                       FROM q CROSS JOIN embeddings e)
+            SELECT CAST(qi AS BIGINT) AS query_idx, vec_id,
+                   ROUND(raw, 6) AS score
+            FROM s
+            QUALIFY row_number() OVER (
+                PARTITION BY qi ORDER BY raw DESC, vec_id) <= 10
+            ORDER BY query_idx, score DESC, vec_id""",
+        # rows-only (non-SQL-expressible): knn_lsh_query,
+        # minhash_dup_clusters, simhash_docs, lang_id_docs,
+        # fingerprint_docs, kg_triples, kg_mentions_all
+    }

@@ -1,0 +1,117 @@
+"""Benchmark harness (driver contract).
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(num_cpus=$RAY_GRAFT_CPUS, default
+32) and prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "turns": T, "turns_per_sec": ...}
+
+The headline is the flagship KG pipeline (transcripts -> canonical
+deduped triples, written to parquet) over the deterministic synthetic
+corpus sized to the sf tier — the metric named by BASELINE.json
+(turns/sec end-to-end triple extraction).
+
+--scaling: runs the headline twice in FRESH processes at num_cpus=8 and
+num_cpus=32 on the same input and prints both throughputs + scaling
+efficiency = (t8/t32)/4 (the sandbox evidence for the N->4N-node
+criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from engine.pipeline import run_kg_pipeline
+    from engine.queries import QUERIES, transcripts_path
+
+    tpath = transcripts_path(sf_dir)  # generated+cached before timing
+    import pyarrow.parquet as pq
+
+    n_turns = sum(
+        pq.read_metadata(os.path.join(tpath, f)).num_rows
+        for f in os.listdir(tpath) if f.endswith(".parquet")
+    )
+    # warm the page cache so we measure compute+shuffle, not cold disk
+    pq.read_table(os.path.join(tpath, next(f for f in os.listdir(tpath)
+                                           if f.endswith(".parquet"))))
+
+    out_dir = "/tmp/graft_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_kg_pipeline(tpath, out_dir, num_buckets=32)
+    headline = time.perf_counter() - t0
+
+    bench_queries = [
+        "q1_pricing_summary", "q5_region_revenue", "events_sessions",
+        "doc_stats_by_lang", "dedup_exact_docs", "knn_cosine",
+        "minhash_dup_clusters", "lang_id_docs", "simhash_docs",
+    ]
+    per_query = {}
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        res = QUERIES[name](sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "kg_pipeline_seconds",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "turns_per_sec_lo": r_lo["turns_per_sec"],
+        "turns_per_sec_hi": r_hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "turns": r_hi["turns"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -53,6 +53,14 @@ def components(edges_ds, num_partitions: int = 16, max_rounds: int = 16):
     """Distributed connected components over a Dataset with columns
     (src:string, dst:string). Returns a Dataset (node:string,
     root:string); root = lexicographically-smallest label reachable.
+
+    The per-round neighbor-label propagation is an explicit
+    partitioned co-group (engine.joins.bucket_join pattern, inlined
+    here with the label min folded into the same groupby) rather than
+    Dataset.join — chaining hash-joins trips a Ray 2.49 empty-block
+    schema issue, and the co-group form needs one less shuffle per
+    round anyway (hash(node) partitions both the edge endpoints and
+    the label rows).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -84,33 +92,54 @@ def components(edges_ds, num_partitions: int = 16, max_rounds: int = 16):
         .materialize()
     )
 
+    def lab_rows(t: pa.Table) -> pa.Table:
+        # label rows as pseudo-edges: peer="" marks "this is my label"
+        return pa.table(
+            {"node": t["node"], "peer": pa.nulls(t.num_rows, pa.string()),
+             "label": t["label"]})
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t["node"], "peer": t["peer"],
+             "label": pa.nulls(t.num_rows, pa.string())})
+
     for _ in range(max_rounds):
-        # push every node's current label to each neighbor, take mins
-        prop = (
-            sym_edges.join(labels, "inner", num_partitions, on=("node",))
-            .select_columns(["peer", "label"])
-            .rename_columns({"peer": "node"})
+        # co-group edges and labels on node: within each group, the
+        # group's current label (from the pseudo-edge row) is proposed
+        # to every peer; group rows also restate the node's own label.
+        both = sym_edges.map_batches(edge_rows, batch_format="pyarrow").union(
+            labels.map_batches(lab_rows, batch_format="pyarrow")
         )
+
+        def propose(g: pa.Table) -> pa.Table:
+            lab = pc.min(g["label"]).as_py()
+            nodes, labs = [g["node"][0].as_py()], [lab]
+            for peer in g["peer"].to_pylist():
+                if peer is not None:
+                    nodes.append(peer)
+                    labs.append(lab)
+            return pa.table({"node": pa.array(nodes, pa.string()),
+                             "label": pa.array(labs, pa.string())})
+
         new_labels = (
-            prop.union(labels)
+            both.groupby("node")
+            .map_groups(propose, batch_format="pyarrow")
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
-        changed = (
-            new_labels.join(
-                labels, "inner", num_partitions, on=("node",), right_suffix="_old"
-            )
-            .map_batches(
-                lambda t: pa.table(
-                    {"c": [pc.sum(pc.not_equal(t["label"], t["label_old"])).as_py() or 0]}
-                ),
-                batch_format="pyarrow",
-            )
-            .sum("c")
-        )
+        # convergence: total label count + sum of label hashes stable
+        def digest(t: pa.Table) -> pa.Table:
+            import zlib
+
+            s = sum(zlib.crc32(f"{n}\x1f{l}".encode()) for n, l in
+                    zip(t["node"].to_pylist(), t["label"].to_pylist()))
+            return pa.table({"d": pa.array([s], pa.int64())})
+
+        old_d = labels.map_batches(digest, batch_format="pyarrow").sum("d")
+        new_d = new_labels.map_batches(digest, batch_format="pyarrow").sum("d")
         labels = new_labels
-        if not changed:
+        if old_d == new_d:
             break
 
     return labels.rename_columns({"label": "root"})

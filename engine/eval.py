@@ -36,12 +36,43 @@ MENTION_KEYS = ["sent_id", "level", "surface", "label", "occ"]
 TRIPLE_KEYS = ["subj", "pred", "obj"]
 
 
-def evaluate_datasets(gold_ds, pred_ds, keys: list[str],
-                      num_partitions: int = 16) -> tuple[float, float, float]:
-    """Distributed eval: inner-join pred x gold on the full key;
-    correct = joined.count() (order-insensitive, exact)."""
-    g = gold_ds.select_columns(keys)
-    p = pred_ds.select_columns(keys)
-    n_true, n_pred = g.count(), p.count()
-    joined = p.join(g, "inner", num_partitions, on=tuple(keys))
-    return prf(n_true, n_pred, joined.count())
+def evaluate_datasets(gold_ds, pred_ds, keys: list[str]) -> tuple[float, float, float]:
+    """Distributed eval: the G3 join-count expressed as a co-group —
+    digest the full key per row, tag the side, union, groupby(digest);
+    correct = number of digests present on both sides. One shuffle of
+    digest+flag rows, never of payloads. (occ in the key makes every
+    digest unique per side, so presence-on-both == multiset match.)"""
+
+    def digest(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = [t[k].to_pylist() for k in keys]
+            ks = ["\x1f".join(map(str, row)) for row in zip(*cols)] if cols else []
+            return pa.table(
+                {"k": pa.array(ks, pa.string()),
+                 "side": pa.array([side] * len(ks), pa.string())}
+            )
+
+        return fn
+
+    g = gold_ds.map_batches(digest("g"), batch_format="pyarrow")
+    p = pred_ds.map_batches(digest("p"), batch_format="pyarrow")
+
+    def match(grp: pa.Table) -> pa.Table:
+        sides = set(grp["side"].to_pylist())
+        return pa.table(
+            {
+                "correct": pa.array([int(len(sides) == 2)], pa.int64()),
+                "n_g": pa.array([int("g" in sides)], pa.int64()),
+                "n_p": pa.array([int("p" in sides)], pa.int64()),
+            }
+        )
+
+    stats = g.union(p).groupby("k").map_groups(match, batch_format="pyarrow")
+    import ray.data  # noqa: F401
+
+    from ray.data.aggregate import Sum
+
+    agg = stats.aggregate(Sum("correct", alias_name="c"),
+                          Sum("n_g", alias_name="g"),
+                          Sum("n_p", alias_name="p"))
+    return prf(agg["g"], agg["p"], agg["c"])

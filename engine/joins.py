@@ -56,8 +56,8 @@ def bucket_join(left, right, on: list[str] | str, num_buckets: int = 32,
 
         return fn
 
-    l_cols = [f.name for f in left.schema().base_schema]
-    r_cols = [f.name for f in right.schema().base_schema]
+    l_cols = list(left.schema().names)
+    r_cols = list(right.schema().names)
 
     def pad(cols_missing):
         def fn(df: pd.DataFrame) -> pd.DataFrame:

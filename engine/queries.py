@@ -1,0 +1,562 @@
+"""Driver-checked query implementations over the /root/testdata tables
+(TPC-H-ish star schema + events/documents/embeddings) — each has a
+DuckDB oracle in __ray_entry__.oracle_sql (or is rows-only for the
+non-SQL-expressible ops). Design notes per query mark the scale shape:
+broadcast vs shuffle, pre-aggregation, pushdown.
+
+Float outputs are rounded identically on both sides (ROUND(x, N)) so
+the driver's value-hash comparison is stable across summation orders.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rp(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
+    for c, n in cols.items():
+        df[c] = df[c].round(n)
+    return df
+
+
+# --- TPC-H-ish -----------------------------------------------------------
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: single groupby with partial aggregation map-side
+    (Ray's hash aggregate pre-combines per block); read prunes to the 7
+    needed columns."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+              "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc_price)
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    return _round(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
+                        "avg_qty": 6, "avg_disc": 6})
+
+
+def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    """customer(filter segment) ⋈ orders via BROADCAST (dimension side
+    small), then the large side pre-aggregates revenue per order inside
+    map_batches before the groupby — lineitem never shuffles raw."""
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    cust = (
+        _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders_b = broadcast_join(orders, cust[["c_custkey"]].rename(
+        columns={"c_custkey": "o_custkey"}), on="o_custkey")
+    okeys = orders_b.to_pandas()[["o_orderkey", "o_orderdate"]]
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        tt = t.append_column("revenue", rev).select(["l_orderkey", "revenue"])
+        df = tt.to_pandas().groupby("l_orderkey", as_index=False)["revenue"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from .joins import broadcast_join as bj
+
+    rev = (
+        bj(li.map_batches(partial_rev, batch_format="pyarrow"),
+           okeys.rename(columns={"o_orderkey": "l_orderkey"}), on="l_orderkey")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    rev = rev.merge(okeys.rename(columns={"o_orderkey": "l_orderkey"}),
+                    on="l_orderkey")
+    rev = rev.rename(columns={"l_orderkey": "o_orderkey"})
+    rev = rev.sort_values(["revenue", "o_orderkey"],
+                          ascending=[False, True]).head(10).reset_index(drop=True)
+    rev = rev[["o_orderkey", "o_orderdate", "revenue"]]
+    return _round(rev, {"revenue": 2})
+
+
+def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
+    """region⋈nation⋈customer broadcast chain onto orders, then
+    order->nation map broadcast onto lineitem partial revenue."""
+    from ray.data.aggregate import Sum
+
+    from .joins import broadcast_join
+
+    region = _rp(sf_dir, "region").to_pandas()
+    nation = _rp(sf_dir, "nation").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.merge(dim[["n_nationkey", "n_name", "r_name"]],
+                      left_on="c_nationkey", right_on="n_nationkey")
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    om = broadcast_join(
+        orders,
+        cust[["c_custkey", "n_name", "r_name"]].rename(columns={"c_custkey": "o_custkey"}),
+        on="o_custkey",
+    ).to_pandas()[["o_orderkey", "n_name", "r_name"]]
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        df = (t.append_column("revenue", rev)
+               .select(["l_orderkey", "revenue"]).to_pandas()
+               .groupby("l_orderkey", as_index=False)["revenue"].sum())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from .joins import broadcast_join as bj
+
+    out = (
+        bj(li.map_batches(partial, batch_format="pyarrow"),
+           om.rename(columns={"o_orderkey": "l_orderkey"}), on="l_orderkey")
+        .groupby(["r_name", "n_name"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+        .sort_values(["r_name", "n_name"])
+        .reset_index(drop=True)
+    )
+    return _round(out, {"revenue": 2})
+
+
+def top_suppliers(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import broadcast_join
+
+    li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_suppkey": t["l_suppkey"], "revenue": rev})
+
+    agg = (
+        li.map_batches(derive, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("revenue", alias_name="revenue"),
+                   Count(alias_name="n_items"))
+    )
+    supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = (
+        broadcast_join(agg, supp.rename(columns={"s_suppkey": "l_suppkey"}),
+                       on="l_suppkey")
+        .to_pandas()
+        .rename(columns={"l_suppkey": "s_suppkey"})
+        .sort_values(["revenue", "s_suppkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )[["s_suppkey", "s_name", "revenue", "n_items"]]
+    return _round(out, {"revenue": 2})
+
+
+def orders_priority_count(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count
+
+    return (
+        _rp(sf_dir, "orders", ["o_orderpriority"])
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+
+
+def part_type_stats(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Mean
+
+    out = (
+        _rp(sf_dir, "part", ["p_type", "p_retailprice"])
+        .groupby("p_type")
+        .aggregate(Count(alias_name="n_parts"),
+                   Mean("p_retailprice", alias_name="avg_price"))
+        .to_pandas()
+        .sort_values("p_type")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"avg_price": 6})
+
+
+def customer_top_spenders(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import broadcast_join
+
+    agg = (
+        _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="total_spent"),
+                   Count(alias_name="n_orders"))
+    )
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    out = (
+        broadcast_join(agg, cust.rename(columns={"c_custkey": "o_custkey"}),
+                       on="o_custkey")
+        .to_pandas()
+        .rename(columns={"o_custkey": "c_custkey"})
+        .sort_values(["total_spent", "c_custkey"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )[["c_custkey", "c_name", "total_spent", "n_orders"]]
+    return _round(out, {"total_spent": 2})
+
+
+def lineitem_filter_agg(sf_dir: str) -> pd.DataFrame:
+    """Predicate + projection pushdown demo: only 3 columns leave the
+    scan; the filter runs as an Arrow kernel."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = (
+        ds.map_batches(
+            lambda t: t.filter(pc.greater(t["l_quantity"], 30.0)),
+            batch_format="pyarrow",
+        )
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n_items"),
+                   Sum("l_extendedprice", alias_name="sum_price"))
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"sum_price": 2})
+
+
+def nation_region_names(sf_dir: str) -> pd.DataFrame:
+    from .joins import bucket_join
+
+    n = _rp(sf_dir, "nation")
+    r = _rp(sf_dir, "region").map_batches(
+        lambda df: df.rename(columns={"r_regionkey": "n_regionkey"}),
+        batch_format="pandas",
+    )
+    out = (
+        bucket_join(n, r, on="n_regionkey", num_buckets=4)
+        .to_pandas()[["n_name", "r_name"]]
+        .sort_values(["r_name", "n_name"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+# --- events --------------------------------------------------------------
+def events_by_type(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    out = (
+        _rp(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value", alias_name="sum_value"),
+                   Min("value", alias_name="min_value"),
+                   Max("value", alias_name="max_value"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"sum_value": 4, "min_value": 6, "max_value": 6})
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "events", ["ts", "value"])
+
+    def trunc(t: pa.Table) -> pa.Table:
+        return pa.table({"hour": pc.floor_temporal(t["ts"], unit="hour"),
+                         "value": t["value"]})
+
+    out = (
+        ds.map_batches(trunc, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"sum_value": 4})
+
+
+def events_top_users(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count
+
+    return (
+        _rp(sf_dir, "events", ["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"))
+        .to_pandas()
+        .sort_values(["n_events", "user_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
+def events_sessions(sf_dir: str) -> pd.DataFrame:
+    """Sessionization (30-min inactivity gap) — the streaming-shaped
+    workload: partition by user, order by (ts, event_id) in-group,
+    fold gaps. groupby(user_id).map_groups = the per-key ordered log."""
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(gaps.sum()) + 1],
+                "n_events": [len(g)],
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(sess, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+# --- documents / embeddings ----------------------------------------------
+def doc_stats_by_lang(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Sum
+
+    from .textstats import quality_batch
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def q(df: pd.DataFrame) -> pd.DataFrame:
+        out = quality_batch(df)
+        out["lang"] = df["lang"].values
+        return out
+
+    return (
+        docs.map_batches(q, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("token_count", alias_name="sum_tokens"),
+                   Sum("punct_count", alias_name="sum_punct"),
+                   Sum("digit_count", alias_name="sum_digits"),
+                   Sum("n_chars", alias_name="sum_chars"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+
+def dedup_exact_docs(sf_dir: str) -> pd.DataFrame:
+    from .dedup import exact_dedup
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        exact_dedup(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def knn_cosine(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 for the first 3 vectors as queries;
+    float64 math so the DuckDB oracle matches to 6 decimals."""
+    import pyarrow.parquet as pq
+
+    from .simsearch import knn_bruteforce
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path)
+    take = qt.filter(pc.less(qt["vec_id"], 3)).sort_by("vec_id")
+    qm = np.array(take["embedding"].to_pylist(), dtype=np.float64)
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = (
+        knn_bruteforce(ds, qm, k=10, dtype=np.float64)
+        .to_pandas()
+        .sort_values(["query_idx", "score", "vec_id"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    out["query_idx"] = out["query_idx"].astype("int64")
+    return _round(out, {"score": 6})
+
+
+def knn_lsh_query(sf_dir: str) -> pd.DataFrame:
+    """ANN variant (rows-only check: recall < 1 by construction)."""
+    import pyarrow.parquet as pq
+
+    from .simsearch import knn_lsh
+
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    take = qt.filter(pc.less(qt["vec_id"], 3)).sort_by("vec_id")
+    qm = np.array(take["embedding"].to_pylist(), dtype=np.float64)
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return (
+        knn_lsh(ds, qm, dim=qm.shape[1], k=10)
+        .to_pandas()
+        .sort_values(["query_idx", "score", "vec_id"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
+def minhash_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from .dedup import minhash_dedup
+
+    docs_table = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_dedup(ds, docs_table, threshold=0.6)
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def simhash_docs(sf_dir: str) -> pd.DataFrame:
+    from .dedup import simhash_dataset
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        simhash_dataset(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def lang_id_docs(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count
+
+    from .textstats import lang_id_dataset
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        lang_id_dataset(ds)
+        .groupby("lang_pred")
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("lang_pred")
+        .reset_index(drop=True)
+    )
+
+
+def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
+    from .textstats import fingerprint_dataset
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    df = fingerprint_dataset(ds).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# --- transcripts (synthesized per sf scale) ------------------------------
+_SF_CONVS = {"sf0.001": 60, "sf0.01": 400, "sf0.1": 2500}
+
+
+def transcripts_path(sf_dir: str) -> str:
+    """Deterministic synthetic transcript corpus sized to the sf tier,
+    cached under /tmp (BASELINE.json input_hint shape; no external
+    data)."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    n = _SF_CONVS.get(name, 400)
+    out = f"/tmp/graft_transcripts/{name}"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        import pyarrow.parquet as pq
+
+        from .synth import make_transcripts_local
+
+        os.makedirs(out, exist_ok=True)
+        t = make_transcripts_local(n, seed=42, shuffle=True)
+        pq.write_table(t, os.path.join(out, "part-0.parquet"))
+        open(marker, "w").close()
+    return out
+
+
+def kg_triples(sf_dir: str):
+    from .pipeline import triples_dataset
+
+    return triples_dataset(transcripts_path(sf_dir)).to_pandas().sort_values(
+        ["subj", "pred", "obj"]).reset_index(drop=True)
+
+
+def kg_mentions_all(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count
+
+    from .pipeline import mentions_dataset
+
+    return (
+        mentions_dataset(transcripts_path(sf_dir))
+        .groupby(["level", "label"])
+        .aggregate(Count(alias_name="n_mentions"))
+        .to_pandas()
+        .sort_values(["level", "label"])
+        .reset_index(drop=True)
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_region_revenue": q5_region_revenue,
+    "top_suppliers": top_suppliers,
+    "orders_priority_count": orders_priority_count,
+    "part_type_stats": part_type_stats,
+    "customer_top_spenders": customer_top_spenders,
+    "lineitem_filter_agg": lineitem_filter_agg,
+    "nation_region_names": nation_region_names,
+    "events_by_type": events_by_type,
+    "events_hourly": events_hourly,
+    "events_top_users": events_top_users,
+    "events_sessions": events_sessions,
+    "doc_stats_by_lang": doc_stats_by_lang,
+    "dedup_exact_docs": dedup_exact_docs,
+    "knn_cosine": knn_cosine,
+    "knn_lsh_query": knn_lsh_query,
+    "minhash_dup_clusters": minhash_dup_clusters,
+    "simhash_docs": simhash_docs,
+    "lang_id_docs": lang_id_docs,
+    "fingerprint_docs": fingerprint_docs,
+    "kg_triples": kg_triples,
+    "kg_mentions_all": kg_mentions_all,
+}

@@ -1,0 +1,183 @@
+"""Dedup family + text analysis + similarity search + multimodal
+plumbing — the training-data-pipeline operator extensions."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dup_docs():
+    """Documents with exact dupes and near-dupes."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy dog again and once"
+    other = "completely different text about ray data pipelines at scale"
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},          # exact dup of 1
+        {"doc_id": 3, "text": near},          # near dup of 1
+        {"doc_id": 4, "text": other},
+        {"doc_id": 5, "text": base},          # exact dup of 1
+    ]
+    return pa.Table.from_pylist(rows)
+
+
+def test_exact_dedup(ray_session, dup_docs):
+    import ray.data as rd
+
+    from engine.dedup import exact_dedup
+
+    out = exact_dedup(rd.from_arrow(dup_docs)).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 3, 4]
+    assert out.set_index("doc_id")["n_copies"].to_dict() == {1: 3, 3: 1, 4: 1}
+
+
+def test_minhash_dedup_clusters(ray_session, dup_docs):
+    import ray.data as rd
+
+    from engine.dedup import minhash_dedup
+
+    out = minhash_dedup(rd.from_arrow(dup_docs), dup_docs, threshold=0.5)
+    df = out.to_pandas()
+    clusters = df.set_index("doc_id")["cluster_id"].to_dict()
+    # 1,2,5 exact dups and 3 near dup -> one cluster rooted at 1
+    assert clusters.get(1) == 1 and clusters.get(2) == 1 and clusters.get(5) == 1
+    assert clusters.get(3) == 1
+    assert 4 not in clusters  # singleton never appears in an edge
+
+
+def test_jaccard_and_shingles():
+    from engine.dedup import _shingles, jaccard
+
+    a = _shingles("a b c d e", 3)
+    b = _shingles("a b c d f", 3)
+    assert 0 < jaccard(a, b) < 1
+    assert jaccard(a, a) == 1.0
+
+
+def test_simhash_near_vs_far(ray_session, dup_docs):
+    import ray.data as rd
+
+    from engine.dedup import simhash_dataset
+
+    df = simhash_dataset(rd.from_arrow(dup_docs)).to_pandas().set_index("doc_id")
+    h1, h3, h4 = df.loc[1, "simhash"], df.loc[3, "simhash"], df.loc[4, "simhash"]
+    d13 = bin(np.uint64(h1) ^ np.uint64(h3)).count("1")
+    d14 = bin(np.uint64(h1) ^ np.uint64(h4)).count("1")
+    assert d13 < d14  # near-dup closer in hamming space
+    assert df.loc[1, "simhash"] == df.loc[2, "simhash"]  # exact dup identical
+
+
+def test_langid_and_fingerprint(ray_session):
+    import ray.data as rd
+
+    from engine.textstats import Fingerprinter, LangId
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the cat is on the mat and it is happy",
+                "der Hund ist im Haus und das ist gut",
+                "xyzzy plugh 12345",
+            ],
+        }
+    )
+    out = LangId()(docs)
+    assert out["lang_pred"].tolist() == ["en", "de", "und"]
+    fp = Fingerprinter()(docs)
+    assert fp["fp_exact"].nunique() == 3
+    # determinism
+    fp2 = Fingerprinter()(docs)
+    assert fp["fp_min_rolling"].tolist() == fp2["fp_min_rolling"].tolist()
+
+
+def test_knn_bruteforce_exact(ray_session):
+    import ray.data as rd
+
+    from engine.simsearch import knn_bruteforce
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((100, 16)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    q = vecs[:2].astype(np.float64)
+    out = knn_bruteforce(rd.from_arrow(t), q, k=5, dtype=np.float64).to_pandas()
+    # numpy oracle
+    def cos_topk(qv):
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qn = qv / np.linalg.norm(qv)
+        s = vn @ qn
+        return set(np.argsort(-s)[:5])
+
+    for qi in (0, 1):
+        got = set(out[out["query_idx"] == qi]["vec_id"])
+        assert got == cos_topk(q[qi].astype(np.float32).astype(np.float64))
+        assert out[out["query_idx"] == qi]["score"].max() == pytest.approx(1.0)
+
+
+def test_knn_lsh_returns_self(ray_session):
+    import ray.data as rd
+
+    from engine.simsearch import knn_lsh
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    out = knn_lsh(rd.from_arrow(t), vecs[:3], dim=16, k=5).to_pandas()
+    for qi in (0, 1, 2):
+        sub = out[out["query_idx"] == qi]
+        assert qi in set(sub["vec_id"])  # own bucket always probed
+
+
+def test_multimodal_stub_plumbing(ray_session):
+    import ray.data as rd
+
+    from engine.multimodal import decode_images, resample_audio, synth_media_table
+
+    media = synth_media_table(30)
+    ds = rd.from_arrow(media)
+    imgs = decode_images(ds, fake=True).to_pandas()
+    assert len(imgs) == 30 and {"pix_mean", "pix_std"} <= set(imgs.columns)
+    # determinism of the fake decoder
+    imgs2 = decode_images(rd.from_arrow(media), fake=True).to_pandas()
+    assert imgs.sort_values("media_id")["pix_mean"].tolist() == \
+           imgs2.sort_values("media_id")["pix_mean"].tolist()
+    aud = resample_audio(ds, fake=True).to_pandas()
+    assert (aud["rate"] == 8000).all()
+    # the non-fake path is an explicit stub
+    from engine.multimodal import DecodeImage
+
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)(media)
+
+
+def test_bucket_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from engine.joins import bucket_join
+
+    rng = np.random.default_rng(3)
+    l = pd.DataFrame({"k": rng.integers(0, 20, 200), "x": np.arange(200)})
+    r = pd.DataFrame({"k": np.arange(20), "y": np.arange(20) * 10})
+    got = (
+        bucket_join(rd.from_pandas(l), rd.from_pandas(r), on="k", num_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)
+    )
+    want = l.merge(r, on="k").sort_values(["k", "x"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "x", "y"]].astype("int64"),
+                                  want.astype("int64"))

@@ -1,0 +1,81 @@
+"""Driver-mimic: run each queries() entry at sf0.001 and compare with
+its oracle_sql() DuckDB result (row count, column names, sorted
+values) — the same discipline the graft driver applies at sf0.01."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def _to_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def sql_checked_names():
+    import __ray_entry__ as e
+
+    return sorted(e.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", sql_checked_names())
+def test_query_matches_oracle(ray_session, name):
+    import __ray_entry__ as e
+
+    got = _canon(_to_df(e.queries()[name](SF_DIR)))
+    want = _canon(_oracle(e.oracle_sql()[name]))
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), (len(got), len(want))
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            pd.testing.assert_series_equal(
+                g.astype(float), w.astype(float), check_names=False,
+                rtol=0, atol=1e-9,
+            )
+        elif "datetime" in str(g.dtype) or "datetime" in str(w.dtype):
+            assert list(pd.to_datetime(g)) == list(pd.to_datetime(w)), c
+        else:
+            assert g.astype(str).tolist() == w.astype(str).tolist(), c
+
+
+def test_rows_only_queries_run(ray_session):
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    rows_only = sorted(set(qs) - set(e.oracle_sql()))
+    for name in rows_only:
+        df = _to_df(qs[name](SF_DIR))
+        assert df is not None and len(df) >= 0, name
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    res = e.entry()
+    df = _to_df(res)
+    assert len(df) >= 0
+    assert {"subj", "pred", "obj"} <= set(df.columns)
