@@ -1,0 +1,94 @@
+"""CLI entry points (the reference's six-scenario command dispatch,
+nemo.py:433-464, re-expressed):
+
+  python -m engine.cli synth --out DIR --convs N
+  python -m engine.cli run --input DIR --out DIR [--buckets B]
+  python -m engine.cli mentions --input DIR --out DIR [--levels ...]
+  python -m engine.cli eval --gold DIR --pred DIR --keys subj,pred,obj
+
+On a real cluster these run via `ray job submit -- python -m engine.cli
+run ...`; locally they auto-init Ray (guarded)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def _ensure_ray() -> bool:
+    """Init Ray if this process doesn't own a session yet; returns
+    whether WE started it (and so must shut it down)."""
+    import ray
+
+    started = not ray.is_initialized()
+    if started:
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return started
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="engine")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("synth")
+    p.add_argument("--out", required=True)
+    p.add_argument("--convs", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=42)
+
+    p = sub.add_parser("run")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--buckets", type=int, default=32)
+
+    p = sub.add_parser("mentions")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--levels", default=None)
+
+    p = sub.add_parser("eval")
+    p.add_argument("--gold", required=True)
+    p.add_argument("--pred", required=True)
+    p.add_argument("--keys", default="subj,pred,obj")
+
+    args = ap.parse_args(argv)
+    started = _ensure_ray()
+
+    if args.cmd == "synth":
+        from .synth import make_transcripts
+
+        make_transcripts(args.out, args.convs, args.seed)
+        print(json.dumps({"out": args.out, "convs": args.convs}))
+    elif args.cmd == "run":
+        from .pipeline import run_kg_pipeline
+
+        metrics = run_kg_pipeline(args.input, args.out, num_buckets=args.buckets)
+        print(json.dumps(metrics))
+    elif args.cmd == "mentions":
+        from .kgflow import SCENARIOS
+        from .pipeline import mentions_dataset
+
+        levels = tuple(args.levels.split(",")) if args.levels else SCENARIOS
+        mentions_dataset(args.input, levels=levels).write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+    elif args.cmd == "eval":
+        import ray.data as rd
+
+        from .eval import evaluate_datasets
+
+        keys = args.keys.split(",")
+        p_, r, f = evaluate_datasets(rd.read_parquet(args.gold),
+                                     rd.read_parquet(args.pred), keys)
+        print(json.dumps({"precision": p_, "recall": r, "f1": f}))
+    if started:
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -138,4 +138,6 @@ def make_transcripts(out_dir: str, n_convs: int, seed: int = 42) -> None:
         batch_format="numpy",
         batch_size=2000,
     )
-    ds.random_shuffle(seed=seed).write_parquet(out_dir)
+    # materialize() before random_shuffle: Ray 2.49 mis-fuses the shuffle
+    # onto the fused read+map stage ("Not a block type: ReadTask")
+    ds.materialize().random_shuffle(seed=seed).write_parquet(out_dir)

@@ -1,0 +1,79 @@
+"""Interchange sources, distributed eval, and CC unit coverage."""
+
+import pyarrow as pa
+
+
+def test_labeled_conll_roundtrip():
+    from engine.sources import read_labeled_conll, write_labeled_conll
+
+    text = "# score 0.9\nAlice S-PER\nworks O\n\nat O\nAcme B-ORG\nCorp E-ORG\n\n"
+    sents = read_labeled_conll(text)
+    assert sents[0][1] == [("Alice", "S-PER"), ("works", "O")]
+    assert sents[1][1][1] == ("Acme", "B-ORG")
+    # multi-tag fix applied on read
+    fixed = read_labeled_conll("x O^B-ORG^I-ORG\n\n")
+    assert fixed[0][1] == [("x", "B-ORG")]
+    out = write_labeled_conll([s for _i, s in sents])
+    assert "Alice S-PER" in out and out.endswith("\n")
+    assert write_labeled_conll([["tok"]], dummy_o=True).startswith("tok O")
+
+
+def test_lattice_tsv_roundtrip():
+    from engine.ops.lattice import build_sentence_lattice
+    from engine.sources import lattice_to_tsv, tsv_to_lattice
+
+    lat = build_sentence_lattice(["be'Tel", "Aviv"])
+    tsv = lattice_to_tsv(lat)
+    back = tsv_to_lattice(tsv)
+    assert [(e.id1, e.id2, e.form, e.token_id) for e in back] == [
+        (e.id1, e.id2, e.form, e.token_id) for e in lat
+    ]
+
+
+def test_local_components_unionfind():
+    from engine.canon import local_components
+
+    roots = local_components([("b", "a"), ("c", "b"), ("y", "x")])
+    assert roots["a"] == roots["b"] == roots["c"] == "a"
+    assert roots["x"] == roots["y"] == "x"
+
+
+def test_distributed_components_matches_local(ray_session):
+    import ray.data as rd
+
+    from engine.canon import components, local_components
+
+    edges = [("n%d" % i, "n%d" % (i + 1)) for i in range(0, 20, 2)]
+    edges += [("n2", "n3"), ("n10", "n11"), ("a", "b")]
+    local = local_components(edges)
+    ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+    dist = {r["node"]: r["root"] for r in components(ds).take_all()}
+    assert dist == local
+
+
+def test_distributed_eval_matches_local(ray_session):
+    import ray.data as rd
+
+    from engine.eval import evaluate_datasets, evaluate_tables
+
+    gold = pa.table({"k1": [1, 1, 2, 3], "k2": ["a", "a", "b", "c"],
+                     "occ": [1, 2, 1, 1]})
+    pred = pa.table({"k1": [1, 2, 4], "k2": ["a", "b", "d"], "occ": [1, 1, 1]})
+    keys = ["k1", "k2", "occ"]
+    want = evaluate_tables(gold, pred, keys)
+    got = evaluate_datasets(rd.from_arrow(gold), rd.from_arrow(pred), keys)
+    assert got == want
+
+
+def test_cli_synth_run_eval(ray_session, tmp_path):
+    from engine.cli import main
+
+    tdir = str(tmp_path / "t")
+    assert main(["synth", "--out", tdir, "--convs", "5"]) == 0
+    out = str(tmp_path / "kg")
+    assert main(["run", "--input", tdir, "--out", out, "--buckets", "4"]) == 0
+    import os
+
+    assert os.path.isdir(os.path.join(out, "triples"))
+    assert main(["eval", "--gold", os.path.join(out, "triples"),
+                 "--pred", os.path.join(out, "triples")]) == 0
