@@ -49,6 +49,25 @@ def local_components(edges) -> dict[str, str]:
     return {n: find(n) for n in parent}
 
 
+def components_auto(edges_ds, small_threshold: int = 100_000,
+                    num_partitions: int = 16, max_rounds: int = 16):
+    """Scale-aware CC: edge sets below the threshold (vocabulary-sized
+    graphs — nil-key canonicalization, verified dup pairs) run the
+    driver-side union-find in one pass; larger graphs run the
+    distributed label propagation. Returns a Dataset (node, root)
+    either way."""
+    import ray.data as rd
+
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= small_threshold:
+        pairs = [(r["src"], r["dst"]) for r in edges_ds.iter_rows()]
+        roots = local_components(pairs)
+        return rd.from_items(
+            [{"node": n, "root": r} for n, r in sorted(roots.items())]
+        )
+    return components(edges_ds, num_partitions, max_rounds)
+
+
 def components(edges_ds, num_partitions: int = 16, max_rounds: int = 16):
     """Distributed connected components over a Dataset with columns
     (src:string, dst:string). Returns a Dataset (node:string,

@@ -78,32 +78,28 @@ class MinHasher:
     def __init__(self, num_perm: int = 64, bands: int = 16, k_shingle: int = 3,
                  seed: int = 42) -> None:
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        # multiply-shift universal hashing in native uint64 wraparound —
+        # fully vectorized (no object-dtype big-int mod-prime math)
+        self.a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.bands = bands
         self.rows = num_perm // bands
         self.k = k_shingle
 
     def signature(self, sh: set[int]) -> np.ndarray:
-        x = np.fromiter(sh, dtype=np.uint64).astype(np.int64)
-        # (a*x + b) mod p per permutation, min over shingles — vectorized
-        vals = (
-            (self.a[:, None].astype(object) * x[None, :] + self.b[:, None])
-            % _MERSENNE
-        )
+        x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+        with np.errstate(over="ignore"):
+            vals = self.a[:, None] * x[None, :] + self.b[:, None]
         return np.min(vals, axis=1)
 
     def band_hashes(self, sig: np.ndarray) -> list[int]:
-        out = []
-        for b in range(self.bands):
-            chunk = sig[b * self.rows : (b + 1) * self.rows]
-            h = 0xCBF29CE484222325
-            for v in chunk:
-                for byte in int(v).to_bytes(8, "little"):
-                    h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            out.append(h & 0x7FFFFFFFFFFFFFFF)
-        return out
+        import zlib
+
+        return [
+            zlib.crc32(sig[b * self.rows : (b + 1) * self.rows].tobytes())
+            for b in range(self.bands)
+        ]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         """doc batch -> exploded (band, band_hash, doc_id) rows."""
@@ -184,7 +180,7 @@ def minhash_dedup(docs_ds, docs_table, threshold: float = 0.8,
     components -> (doc_id, cluster_id) rows; cluster root = min doc_id."""
     import pyarrow as pa
 
-    from .canon import components
+    from .canon import components_auto
 
     verified = verify_pairs(
         minhash_candidates(docs_ds, num_perm, bands, k_shingle),
@@ -204,7 +200,7 @@ def minhash_dedup(docs_ds, docs_table, threshold: float = 0.8,
         import ray.data as rd
 
         return rd.from_items([])
-    comp = components(edges)
+    comp = components_auto(edges)
 
     def decode(t: pa.Table) -> pa.Table:
         return pa.table(

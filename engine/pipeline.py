@@ -29,7 +29,7 @@ import os
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .canon import components
+from .canon import components_auto
 from .kgflow import (SCENARIOS, SentenceProcessor, kg_mentions,
                      relation_candidates, scenario_mentions)
 from .schema import MENTIONS, TRIPLES, stable_sent_id
@@ -268,7 +268,7 @@ def canonicalize_and_dedup(triples_ds, num_partitions: int = 16):
     if nil_keys:
         edges = STATIC_CANON_EDGES + nil_edges(sorted(nil_keys))
         edge_ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
-        roots = components(edge_ds, num_partitions=num_partitions)
+        roots = components_auto(edge_ds, num_partitions=num_partitions)
         for row in roots.iter_rows():
             if row["node"].startswith("n:"):
                 mapping[row["node"][2:]] = resolve_component_root(row["root"])

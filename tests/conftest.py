@@ -13,7 +13,7 @@ def ray_session():
     if not ray.is_initialized():
         ray.init(
             address="local",
-            num_cpus=4,
+            num_cpus=8,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
