@@ -56,18 +56,21 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         g = out.groupby("h", as_index=False).agg(
             **{id_col: (id_col, "min"), "n_copies": (id_col, "size")}
         )
+        g["part"] = (g["h"].astype("uint64") % np.uint64(64)).astype("int64")
         return g
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        # one call per PARTITION, vectorized pandas groupby inside —
+        # never one Python call per distinct text
+        out = g.groupby("h", as_index=False).agg(
+            **{id_col: (id_col, "min"), "n_copies": ("n_copies", "sum")}
+        )
+        return out[[id_col, "n_copies"]]
 
     return (
         ds.map_batches(hash_batch, batch_format="pandas")
-        .groupby("h")
-        .map_groups(
-            lambda g: g.sort_values(id_col)
-            .assign(n_copies=g["n_copies"].sum())
-            .head(1),
-            batch_format="pandas",
-        )
-        .select_columns([id_col, "n_copies"])
+        .groupby("part")
+        .map_groups(finalize, batch_format="pandas")
     )
 
 
@@ -102,7 +105,9 @@ class MinHasher:
         ]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        """doc batch -> exploded (band, band_hash, doc_id) rows."""
+        """doc batch -> exploded (band, band_hash, doc_id, part) rows;
+        part = shuffle bucket (band_hash mod 64) so the candidate
+        grouping is a bounded-fan-out shuffle, not per-key groups."""
         bands, hashes, ids = [], [], []
         for doc_id, text in zip(df["doc_id"], df["text"]):
             sig = self.signature(_shingles(text, self.k))
@@ -110,7 +115,9 @@ class MinHasher:
                 bands.append(b)
                 hashes.append(np.int64(h))
                 ids.append(doc_id)
-        return pd.DataFrame({"band": bands, "band_hash": hashes, "doc_id": ids})
+        out = pd.DataFrame({"band": bands, "band_hash": hashes, "doc_id": ids})
+        out["part"] = out["band_hash"] % 64
+        return out
 
 
 def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
@@ -126,21 +133,33 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
+        # one call per band_hash PARTITION: pandas-group by the actual
+        # (band, band_hash) key inside, emit id chains (not cliques:
+        # CC connects them), dedup pairs within the partition
         a, b = [], []
-        for i in range(len(ids) - 1):  # chain, not clique: CC connects them
-            a.append(ids[i])
-            b.append(ids[i + 1])
-        return pd.DataFrame(
+        for _, grp in g.groupby(["band", "band_hash"], sort=True):
+            ids = sorted(grp["doc_id"].unique())
+            for i in range(len(ids) - 1):
+                a.append(ids[i])
+                b.append(ids[i + 1])
+        out = pd.DataFrame(
             {"doc_a": pd.Series(a, dtype="int64"),
              "doc_b": pd.Series(b, dtype="int64")}
         )
+        return out.drop_duplicates()
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    pairs = banded.groupby("part").map_groups(bucket_pairs, batch_format="pandas")
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pb"] = (df["doc_a"] * 31 + df["doc_b"]) % 64
+        return df
+
+    return (
+        pairs.map_batches(pair_bucket, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(lambda g: g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]],
+                    batch_format="pandas")
     )
 
 

@@ -230,8 +230,11 @@ def _batch_prededup(t: pa.Table) -> pa.Table:
     return t.filter(pa.array(mask))
 
 
-def _dedup_first(group: pa.Table) -> pa.Table:
-    return _batch_prededup(group).slice(0, 1) if group.num_rows else group
+def _dedup_partition(group: pa.Table) -> pa.Table:
+    """One call per hash PARTITION of triple keys (not per key):
+    pre-dedup sort keeps the min-provenance row per (subj,pred,obj)."""
+    out = _batch_prededup(group)
+    return out.drop_columns(["tbucket"]) if "tbucket" in out.column_names else out
 
 
 def canonicalize_and_dedup(triples_ds, num_partitions: int = 16):
@@ -284,9 +287,22 @@ def canonicalize_and_dedup(triples_ds, num_partitions: int = 16):
         t = t.set_column(t.schema.get_field_index("obj"), "obj", pa.array(obj, pa.string()))
         return _batch_prededup(t)
 
+    def add_tbucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "tbucket",
+            pa.array(
+                [fnv_bucket(f"{s}\x1f{p}\x1f{o}", 64)
+                 for s, p, o in zip(t["subj"].to_pylist(), t["pred"].to_pylist(),
+                                    t["obj"].to_pylist())],
+                pa.int32(),
+            ),
+        )
+
     rewritten = triples_ds.map_batches(rewrite, batch_format="pyarrow")
-    return rewritten.groupby(["subj", "pred", "obj"]).map_groups(
-        _dedup_first, batch_format="pyarrow"
+    return (
+        rewritten.map_batches(add_tbucket, batch_format="pyarrow")
+        .groupby("tbucket")
+        .map_groups(_dedup_partition, batch_format="pyarrow")
     )
 
 

@@ -32,122 +32,159 @@ def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
 
 # --- TPC-H-ish -----------------------------------------------------------
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q1 shape: single groupby with partial aggregation map-side
-    (Ray's hash aggregate pre-combines per block); read prunes to the 7
-    needed columns."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """TPC-H Q1 shape with an explicit map-side combiner: each batch
+    pre-aggregates to one row per (returnflag, linestatus) — the wide
+    groupby then moves ~4 rows per batch instead of the whole table
+    (ray_guide 'pre-aggregate first'). Read prunes to 5 columns."""
+    from ray.data.aggregate import Sum
 
     ds = _rp(sf_dir, "lineitem",
              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
               "l_discount"])
 
-    def derive(t: pa.Table) -> pa.Table:
-        disc_price = pc.multiply(t["l_extendedprice"],
-                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc_price)
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_disc=("l_discount", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return g
 
     out = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="count_order"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("sum_disc", alias_name="sum_disc"),
+            Sum("count_order", alias_name="count_order"),
         )
         .to_pandas()
         .sort_values(["l_returnflag", "l_linestatus"])
         .reset_index(drop=True)
     )
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    out["avg_disc"] = out["sum_disc"] / out["count_order"]
+    out = out.drop(columns=["sum_disc"])
+    out = out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+               "sum_disc_price", "avg_qty", "avg_disc", "count_order"]]
     return _round(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
                         "avg_qty": 6, "avg_disc": 6})
 
 
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
-    """customer(filter segment) ⋈ orders via BROADCAST (dimension side
-    small), then the large side pre-aggregates revenue per order inside
-    map_batches before the groupby — lineitem never shuffles raw."""
+    """Shape: broadcast semi-join (BUILDING custkeys -> filter orders in
+    map_batches), per-batch partial revenue combiner on lineitem, ONE
+    hash join lineitem-partials ⋈ filtered-orders (the large-large step
+    — Dataset.join, hash-partitioned), then a tiny final aggregate +
+    top-k. lineitem raw rows never shuffle."""
+    import pyarrow.parquet as pq
+    import ray
+
     from ray.data.aggregate import Sum
 
-    from .joins import broadcast_join
-
-    cust = (
-        _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .map_batches(
-            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = set(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+        .to_pylist()
     )
+    kref = ray.put(keys)
+
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    orders_b = broadcast_join(orders, cust[["c_custkey"]].rename(
-        columns={"c_custkey": "o_custkey"}), on="o_custkey")
-    okeys = orders_b.to_pandas()[["o_orderkey", "o_orderdate"]]
+
+    def filt(t: pa.Table, kref=kref) -> pa.Table:
+        ks = ray.get(kref)
+        mask = pa.array([k in ks for k in t["o_custkey"].to_pylist()])
+        return t.filter(mask).select(["o_orderkey", "o_orderdate"]).rename_columns(
+            ["l_orderkey", "o_orderdate"]
+        )
+
+    orders_f = orders.map_batches(filt, batch_format="pyarrow")
 
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial_rev(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        tt = t.append_column("revenue", rev).select(["l_orderkey", "revenue"])
-        df = tt.to_pandas().groupby("l_orderkey", as_index=False)["revenue"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        df = t.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    from .joins import broadcast_join as bj
-
+    joined = li.map_batches(partial_rev, batch_format="pyarrow").join(
+        orders_f.map_batches(lambda t: t.select(["l_orderkey"]),
+                             batch_format="pyarrow"),
+        "inner", 16, on=("l_orderkey",),
+    )
     rev = (
-        bj(li.map_batches(partial_rev, batch_format="pyarrow"),
-           okeys.rename(columns={"o_orderkey": "l_orderkey"}), on="l_orderkey")
-        .groupby("l_orderkey")
+        joined.groupby("l_orderkey")
         .aggregate(Sum("revenue", alias_name="revenue"))
         .to_pandas()
+        .rename(columns={"l_orderkey": "o_orderkey"})
+        .sort_values(["revenue", "o_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
     )
-    rev = rev.merge(okeys.rename(columns={"o_orderkey": "l_orderkey"}),
-                    on="l_orderkey")
-    rev = rev.rename(columns={"l_orderkey": "o_orderkey"})
-    rev = rev.sort_values(["revenue", "o_orderkey"],
-                          ascending=[False, True]).head(10).reset_index(drop=True)
-    rev = rev[["o_orderkey", "o_orderdate", "revenue"]]
+    # attach dates for the 10 winners from the (already-loaded) orders
+    odf = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_orderkey", "o_orderdate"]).to_pandas()
+    rev = rev.merge(odf, on="o_orderkey")[["o_orderkey", "o_orderdate", "revenue"]]
     return _round(rev, {"revenue": 2})
 
 
 def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
-    """region⋈nation⋈customer broadcast chain onto orders, then
-    order->nation map broadcast onto lineitem partial revenue."""
+    """Shape: region⋈nation⋈customer collapse into a custkey ->
+    (n_name, r_name) broadcast dict (dimension chain); orders annotate
+    per batch; lineitem pre-aggregates revenue per order per batch; ONE
+    hash join of the two partials; final tiny groupby. (At 100 TB the
+    customer map exceeds broadcast — swap the annotate step for
+    engine.joins.bucket_join keyed on custkey; lineitem side unchanged.)"""
+    import pyarrow.parquet as pq
+    import ray
+
     from ray.data.aggregate import Sum
 
-    from .joins import broadcast_join
-
-    region = _rp(sf_dir, "region").to_pandas()
-    nation = _rp(sf_dir, "nation").to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     cust = cust.merge(dim[["n_nationkey", "n_name", "r_name"]],
                       left_on="c_nationkey", right_on="n_nationkey")
+    cmap = {k: (n, r) for k, n, r in
+            zip(cust["c_custkey"], cust["n_name"], cust["r_name"])}
+    cref = ray.put(cmap)
+
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    om = broadcast_join(
-        orders,
-        cust[["c_custkey", "n_name", "r_name"]].rename(columns={"c_custkey": "o_custkey"}),
-        on="o_custkey",
-    ).to_pandas()[["o_orderkey", "n_name", "r_name"]]
+
+    def annotate(t: pa.Table, cref=cref) -> pa.Table:
+        cm = ray.get(cref)
+        pairs = [cm.get(k) for k in t["o_custkey"].to_pylist()]
+        return pa.table(
+            {
+                "l_orderkey": t["o_orderkey"],
+                "n_name": pa.array([p[0] if p else None for p in pairs], pa.string()),
+                "r_name": pa.array([p[1] if p else None for p in pairs], pa.string()),
+            }
+        )
+
+    om = orders.map_batches(annotate, batch_format="pyarrow")
 
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        df = (t.append_column("revenue", rev)
-               .select(["l_orderkey", "revenue"]).to_pandas()
-               .groupby("l_orderkey", as_index=False)["revenue"].sum())
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    from .joins import broadcast_join as bj
+        df = t.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        bj(li.map_batches(partial, batch_format="pyarrow"),
-           om.rename(columns={"o_orderkey": "l_orderkey"}), on="l_orderkey")
+        li.map_batches(partial, batch_format="pyarrow")
+        .join(om, "inner", 16, on=("l_orderkey",))
         .groupby(["r_name", "n_name"])
         .aggregate(Sum("revenue", alias_name="revenue"))
         .to_pandas()
@@ -335,21 +372,29 @@ def events_sessions(sf_dir: str) -> pd.DataFrame:
     fold gaps. groupby(user_id).map_groups = the per-key ordered log."""
     ds = _rp(sf_dir, "events", ["user_id", "ts", "event_id"])
 
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ub"] = df["user_id"] % 64
+        return df
+
     def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(gaps.sum()) + 1],
-                "n_events": [len(g)],
-            }
+        # one call per user-hash PARTITION; vectorized per-user fold
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_s = (g["ts"].diff() > pd.Timedelta(minutes=30)) & (
+            g["user_id"].eq(g["user_id"].shift())
         )
+        first = ~g["user_id"].eq(g["user_id"].shift())
+        g = g.assign(new_s=(new_s | first).astype("int64"))
+        out = g.groupby("user_id", as_index=False).agg(
+            n_sessions=("new_s", "sum"), n_events=("new_s", "size")
+        )
+        return out
 
     return (
-        ds.groupby("user_id")
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("ub")
         .map_groups(sess, batch_format="pandas")
-        .to_pandas()
+        .to_pandas()[["user_id", "n_sessions", "n_events"]]
         .sort_values("user_id")
         .reset_index(drop=True)
     )
