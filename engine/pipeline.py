@@ -148,14 +148,43 @@ class KgTurnProcessor:
         )
 
 
-def _resolve_group(group: pa.Table, emit: str) -> pa.Table:
-    """Per-conversation: sort by turn_idx (the in-group half of the
-    reassembly contract) then run the order-dependent linking walk."""
+_ENTITY_SCHEMA = pa.schema(
+    [
+        ("mention_id", pa.string()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("surface", pa.string()),
+        ("label", pa.string()),
+        ("canon_id", pa.string()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+def _resolve_bucket(group: pa.Table, emit: str) -> pa.Table:
+    """One call per conv-hash BUCKET (not per conversation): sort rows
+    by (conv_id, turn_idx) — the in-group half of the reassembly
+    contract — then run the order-dependent linking walk per
+    conversation slice. Bounded fan-out regardless of #conversations."""
     from .kgflow import resolve_conversation
 
-    group = group.sort_by("turn_idx")
-    turns = []
+    group = group.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    entities: list[dict] = []
+    triples: list[dict] = []
+    turns: list[dict] = []
+    cur = None
+
+    def flush():
+        if turns:
+            e, t = resolve_conversation(turns)
+            entities.extend(e)
+            triples.extend(t)
+            turns.clear()
+
     for row in group.to_pylist():
+        if row["conv_id"] != cur:
+            flush()
+            cur = row["conv_id"]
         turns.append(
             {
                 "conv_id": row["conv_id"],
@@ -168,22 +197,9 @@ def _resolve_group(group: pa.Table, emit: str) -> pa.Table:
                 "rels": list(zip(row["rel_i"], row["rel_pred"], row["rel_j"])),
             }
         )
-    entities, triples = resolve_conversation(turns)
+    flush()
     if emit == "entities":
-        return pa.Table.from_pylist(
-            entities,
-            schema=pa.schema(
-                [
-                    ("mention_id", pa.string()),
-                    ("conv_id", pa.string()),
-                    ("turn_idx", pa.int32()),
-                    ("surface", pa.string()),
-                    ("label", pa.string()),
-                    ("canon_id", pa.string()),
-                    ("score", pa.float64()),
-                ]
-            ),
-        )
+        return pa.Table.from_pylist(entities, schema=_ENTITY_SCHEMA)
     return pa.Table.from_pylist(triples, schema=TRIPLES)
 
 
@@ -198,18 +214,33 @@ def mentions_dataset(path: str, levels: tuple[str, ...] = SCENARIOS,
     )
 
 
+def _add_bucket_col(t: pa.Table, num_buckets: int) -> pa.Table:
+    return t.append_column(
+        "bucket",
+        pa.array([fnv_bucket(c, num_buckets) for c in t["conv_id"].to_pylist()],
+                 pa.int32()),
+    )
+
+
 def raw_triples_dataset(path: str, emit: str = "triples",
-                        concurrency: int | None = None, batch_size: int = 512):
-    """transcripts -> per-turn KG rows -> conversation reassembly ->
-    linking walk -> per-conversation entity/triple rows (pre-canon)."""
+                        concurrency: int | None = None, batch_size: int = 512,
+                        num_buckets: int = 32):
+    """transcripts -> per-turn KG rows -> conversation reassembly
+    (ONE groupby keyed on hash(conv_id) bucket; conversations never
+    split across buckets) -> linking walk -> entity/triple rows
+    (pre-canon)."""
     turns = read_transcripts(path).map_batches(
         KgTurnProcessor,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=_pool_size(concurrency),
     )
-    return turns.groupby("conv_id").map_groups(
-        lambda g, emit=emit: _resolve_group(g, emit), batch_format="pyarrow"
+    return (
+        turns.map_batches(lambda t: _add_bucket_col(t, num_buckets),
+                          batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g, emit=emit: _resolve_bucket(g, emit),
+                    batch_format="pyarrow")
     )
 
 
@@ -237,7 +268,34 @@ def _dedup_partition(group: pa.Table) -> pa.Table:
     return out.drop_columns(["tbucket"]) if "tbucket" in out.column_names else out
 
 
-def canonicalize_and_dedup(triples_ds, num_partitions: int = 16):
+def local_canonicalize_and_dedup(table: pa.Table) -> pa.Table:
+    """Driver-side stage B for reduced (pre-deduped, vocabulary-sized)
+    triple sets: same pure functions (local union-find + sort-dedup)."""
+    from .canon import local_components
+    from .link import STATIC_CANON_EDGES, nil_edges, resolve_component_root
+
+    nil_keys = sorted(
+        {v for col in ("subj", "obj")
+         for v in table[col].to_pylist() if v.startswith("nil:")}
+    )
+    mapping: dict[str, str] = {}
+    if nil_keys:
+        roots = local_components(STATIC_CANON_EDGES + nil_edges(nil_keys))
+        mapping = {k: resolve_component_root(roots.get("n:" + k, "n:" + k))
+                   for k in nil_keys}
+    if mapping:
+        subj = [mapping.get(v, v) for v in table["subj"].to_pylist()]
+        obj = [mapping.get(v, v) for v in table["obj"].to_pylist()]
+        table = table.set_column(table.schema.get_field_index("subj"), "subj",
+                                 pa.array(subj, pa.string()))
+        table = table.set_column(table.schema.get_field_index("obj"), "obj",
+                                 pa.array(obj, pa.string()))
+    return _batch_prededup(table)
+
+
+def canonicalize_and_dedup(triples_ds, num_partitions: int = 16,
+                           input_stable: bool = False,
+                           small_threshold: int = 2_000_000):
     """Global canon + exact dedup over (pre-)triples.
 
     1. collect distinct nil subj/obj keys (a vocabulary-sized set),
@@ -253,6 +311,17 @@ def canonicalize_and_dedup(triples_ds, num_partitions: int = 16):
 
     from .link import STATIC_CANON_EDGES, nil_edges, resolve_component_root
 
+    if not input_stable:
+        triples_ds = triples_ds.materialize()  # consumed twice (keys + rewrite)
+    # scale-aware stage B: the pre-triples are already per-bucket
+    # pre-deduped, so a vocabulary-sized set runs the reduce driver-side
+    # in one pass (same pure functions); large sets stay distributed
+    if small_threshold and triples_ds.count() <= small_threshold:
+        parts = [t for t in ray.get(triples_ds.to_arrow_refs()) if t.num_rows]
+        table = (pa.concat_tables(parts).combine_chunks() if parts
+                 else pa.Table.from_pylist([], schema=TRIPLES))
+        return rd.from_arrow(local_canonicalize_and_dedup(table))
+
     def nil_keys_batch(t: pa.Table) -> pa.Table:
         vals = set()
         for col in ("subj", "obj"):
@@ -262,7 +331,6 @@ def canonicalize_and_dedup(triples_ds, num_partitions: int = 16):
                 vals.add(v)
         return pa.table({"key": pa.array(sorted(vals), pa.string())})
 
-    triples_ds = triples_ds.materialize()  # consumed twice (keys + rewrite)
     nil_keys = list(
         triples_ds.map_batches(nil_keys_batch, batch_format="pyarrow").unique("key")
         or []
@@ -307,11 +375,14 @@ def canonicalize_and_dedup(triples_ds, num_partitions: int = 16):
 
 
 def triples_dataset(path: str, concurrency: int | None = None,
-                    batch_size: int = 512, num_partitions: int = 16):
+                    batch_size: int = 512, num_partitions: int = 16,
+                    small_threshold: int = 2_000_000):
     """Full in-memory (lazy) flagship graph: transcripts -> deduped,
-    canonicalized triples Dataset."""
+    canonicalized triples Dataset. small_threshold=0 forces the fully
+    distributed stage B."""
     raw = raw_triples_dataset(path, "triples", concurrency, batch_size)
-    return canonicalize_and_dedup(raw, num_partitions=num_partitions)
+    return canonicalize_and_dedup(raw, num_partitions=num_partitions,
+                                  small_threshold=small_threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -362,59 +433,52 @@ def run_kg_pipeline(
         return t.filter(pa.array(mask))
 
     ds = read_transcripts(input_path).map_batches(keep, batch_format="pyarrow")
-    raw = ds.map_batches(
+    turns = ds.map_batches(
         KgTurnProcessor, batch_format="pyarrow", batch_size=batch_size,
         concurrency=_pool_size(concurrency),
-    ).groupby("conv_id").map_groups(
-        lambda g: _resolve_group(g, "triples"), batch_format="pyarrow"
-    )
+    ).map_batches(lambda t: _add_bucket_col(t, num_buckets), batch_format="pyarrow")
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "bucket",
-            pa.array([fnv_bucket(c, num_buckets) for c in t["conv_id"].to_pylist()],
-                     pa.int32()),
-        )
-
-    def write_bucket(group: pa.Table, out_dir=out_dir, inp=input_path) -> pa.Table:
+    def resolve_and_write(group: pa.Table, out_dir=out_dir, inp=input_path) -> pa.Table:
+        """Fused stage: ONE shuffle keyed on the conv-hash bucket does
+        the conversation reassembly AND the checkpointed write — the
+        resolve output never re-shuffles."""
         if group.num_rows == 0:
             return pa.table({"bucket": pa.array([], pa.int32()),
                              "rows": pa.array([], pa.int64())})
         b = group["bucket"][0].as_py()
+        triples = _resolve_bucket(group, "triples")
+        triples = _batch_prededup(triples)  # combiner before stage B
         pdir = os.path.join(out_dir, "pre_triples", f"bucket={b}")
         os.makedirs(pdir, exist_ok=True)
         tmp = os.path.join(pdir, "part.parquet.tmp")
         final = os.path.join(pdir, "part.parquet")
         import pyarrow.parquet as pq
 
-        pq.write_table(group.drop_columns(["bucket"]), tmp)
+        pq.write_table(triples, tmp)
         os.replace(tmp, final)  # atomic
-        man = {
-            "bucket": b,
-            "input": inp,
-            "rows": group.num_rows,
-            "complete": True,
-        }
+        man = {"bucket": b, "input": inp, "turn_rows": group.num_rows,
+               "triple_rows": triples.num_rows, "complete": True}
         mtmp = os.path.join(_manifest_dir(out_dir), f"bucket-{b}.json.tmp")
         mfin = os.path.join(_manifest_dir(out_dir), f"bucket-{b}.json")
         with open(mtmp, "w") as f:
             json.dump(man, f)
         os.replace(mtmp, mfin)
-        return pa.table({"bucket": [b], "rows": pa.array([group.num_rows], pa.int64())})
+        return pa.table({"bucket": [b],
+                         "rows": pa.array([triples.num_rows], pa.int64())})
 
     if len(done) < num_buckets:
-        metrics = (
-            raw.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(write_bucket, batch_format="pyarrow")
+        metrics = turns.groupby("bucket").map_groups(
+            resolve_and_write, batch_format="pyarrow"
         )
         stage_a = {r["bucket"]: r["rows"] for r in metrics.iter_rows()}
     else:
         stage_a = {}
 
-    # Stage B: global reduce over checkpointed pre-triples
+    # Stage B: global reduce over checkpointed pre-triples (input is
+    # already stable on disk — no extra materialize)
     pre = rd.read_parquet(os.path.join(out_dir, "pre_triples"))
-    final_ds = canonicalize_and_dedup(pre, num_partitions=num_partitions)
+    final_ds = canonicalize_and_dedup(pre, num_partitions=num_partitions,
+                                      input_stable=True)
     final_dir = os.path.join(out_dir, "triples")
     final_ds = final_ds.materialize()
     n = final_ds.count()

@@ -172,19 +172,36 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    om = orders.map_batches(annotate, batch_format="pyarrow")
+    # orderkey -> (n_name, r_name): built as a SMALL distributed pass
+    # over orders, then collected and broadcast. (At 100 TB the orders
+    # map exceeds broadcast: swap this annotate for the bucketed hash
+    # join on l_orderkey — engine.joins.bucket_join — with the lineitem
+    # side still pre-aggregated per batch.)
+    om_parts = orders.map_batches(annotate, batch_format="pyarrow").to_arrow_refs()
+    omap: dict[int, tuple[str, str]] = {}
+    for part in ray.get(om_parts):
+        for k, n, r in zip(part["l_orderkey"].to_pylist(),
+                           part["n_name"].to_pylist(),
+                           part["r_name"].to_pylist()):
+            if n is not None:
+                omap[k] = (n, r)
+    oref = ray.put(omap)
 
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def partial(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table, oref=oref) -> pd.DataFrame:
+        om = ray.get(oref)
         df = t.to_pandas()
         df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        g = df.groupby("l_orderkey", as_index=False)["revenue"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        names = df["l_orderkey"].map(om)
+        df = df[names.notna()].assign(
+            n_name=[p[0] for p in names.dropna()],
+            r_name=[p[1] for p in names.dropna()],
+        )
+        return df.groupby(["r_name", "n_name"], as_index=False)["revenue"].sum()
 
     out = (
         li.map_batches(partial, batch_format="pyarrow")
-        .join(om, "inner", 16, on=("l_orderkey",))
         .groupby(["r_name", "n_name"])
         .aggregate(Sum("revenue", alias_name="revenue"))
         .to_pandas()

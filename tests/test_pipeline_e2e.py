@@ -50,10 +50,12 @@ def test_mentions_match_oracle(ray_session, tiny_transcripts, oracle_out):
 
 
 def test_triples_match_oracle(ray_session, tiny_transcripts, oracle_out):
+    """small_threshold=0 forces the fully-distributed canon+dedup stage
+    (the default scale-aware path is covered by the determinism test)."""
     from engine.pipeline import triples_dataset
 
     path, _ = tiny_transcripts
-    got = _ds_to_table(triples_dataset(path, batch_size=64))
+    got = _ds_to_table(triples_dataset(path, batch_size=64, small_threshold=0))
     p, r, f = evaluate_tables(oracle_out["triples"], got, TRIPLE_KEYS)
     assert (p, r) == (1.0, 1.0), (p, r)
     # provenance winner = min (conv_id, turn_idx) — full-row equality
