@@ -148,19 +148,9 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
         )
         return out.drop_duplicates()
 
-    pairs = banded.groupby("part").map_groups(bucket_pairs, batch_format="pandas")
-
-    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["pb"] = (df["doc_a"] * 31 + df["doc_b"]) % 64
-        return df
-
-    return (
-        pairs.map_batches(pair_bucket, batch_format="pandas")
-        .groupby("pb")
-        .map_groups(lambda g: g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]],
-                    batch_format="pandas")
-    )
+    # pairs may repeat across bands — downstream verify and CC are
+    # idempotent, so no extra dedup shuffle is spent here
+    return banded.groupby("part").map_groups(bucket_pairs, batch_format="pandas")
 
 
 def jaccard(a: set[int], b: set[int]) -> float:
@@ -215,11 +205,7 @@ def minhash_dedup(docs_ds, docs_table, threshold: float = 0.8,
         )
 
     edges = verified.map_batches(to_edges, batch_format="pandas")
-    if edges.count() == 0:
-        import ray.data as rd
-
-        return rd.from_items([])
-    comp = components_auto(edges)
+    comp = components_auto(edges)  # handles empty edge sets
 
     def decode(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -236,21 +222,24 @@ class SimHasher:
     """64-bit SimHash over word unigrams (FNV word hashes, +-1 bit
     votes), with 4x16-bit band keys for hamming<=3 blocking."""
 
+    _BITS = np.arange(64, dtype=np.uint64)
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         from .textstats import Fingerprinter
 
         fnv = Fingerprinter.fnv64
+        cache: dict[str, int] = {}
         sims, b0, b1, b2, b3 = [], [], [], [], []
         for text in df["text"]:
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in text.lower().split():
-                h = fnv(tok)
-                for bit in range(64):
-                    acc[bit] += 1 if (h >> bit) & 1 else -1
-            v = 0
-            for bit in range(64):
-                if acc[bit] > 0:
-                    v |= 1 << bit
+            toks = text.lower().split()
+            hs = np.fromiter(
+                (cache.get(t) or cache.setdefault(t, fnv(t)) for t in toks),
+                dtype=np.uint64, count=len(toks),
+            )
+            # vectorized bit votes: (n_tokens, 64) sign matrix summed
+            bits = ((hs[:, None] >> self._BITS[None, :]) & np.uint64(1)).astype(np.int32)
+            acc = (2 * bits - 1).sum(axis=0)
+            v = int(((acc > 0).astype(np.uint64) << self._BITS).sum())
             sims.append(np.int64(np.uint64(v)))
             b0.append(v & 0xFFFF)
             b1.append((v >> 16) & 0xFFFF)

@@ -552,25 +552,31 @@ def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
 
 
 # --- transcripts (synthesized per sf scale) ------------------------------
-_SF_CONVS = {"sf0.001": 60, "sf0.01": 400, "sf0.1": 2500}
+_SF_CONVS = {"sf0.001": 60, "sf0.01": 1200, "sf0.1": 150_000}
 
 
 def transcripts_path(sf_dir: str) -> str:
     """Deterministic synthetic transcript corpus sized to the sf tier,
     cached under /tmp (BASELINE.json input_hint shape; no external
-    data)."""
+    data). Small tiers generate on the driver; the bench tier generates
+    distributed (one task per conversation range, shuffled on write)."""
     name = os.path.basename(os.path.normpath(sf_dir))
-    n = _SF_CONVS.get(name, 400)
-    out = f"/tmp/graft_transcripts/{name}"
+    n = _SF_CONVS.get(name, 1200)
+    out = f"/tmp/graft_transcripts/{name}_c{n}"  # size in path: no stale cache
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
-        import pyarrow.parquet as pq
-
-        from .synth import make_transcripts_local
-
         os.makedirs(out, exist_ok=True)
-        t = make_transcripts_local(n, seed=42, shuffle=True)
-        pq.write_table(t, os.path.join(out, "part-0.parquet"))
+        if n >= 5000:
+            from .synth import make_transcripts
+
+            make_transcripts(out, n, seed=42)
+        else:
+            import pyarrow.parquet as pq
+
+            from .synth import make_transcripts_local
+
+            t = make_transcripts_local(n, seed=42, shuffle=True)
+            pq.write_table(t, os.path.join(out, "part-0.parquet"))
         open(marker, "w").close()
     return out
 
