@@ -140,7 +140,47 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY qi ORDER BY raw DESC, vec_id) <= 10
             ORDER BY query_idx, score DESC, vec_id""",
+        "orders_monthly": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM orders GROUP BY 1 ORDER BY 1""",
+        "top_parts_by_qty": """
+            SELECT l.l_partkey AS p_partkey, p.p_name,
+                   ROUND(SUM(l.l_quantity), 2) AS total_qty,
+                   COUNT(*) AS n_items
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1, 2
+            ORDER BY SUM(l.l_quantity) DESC, p_partkey LIMIT 15""",
+        "nation_customer_stats": """
+            SELECT n.n_name, COUNT(*) AS n_customers,
+                   ROUND(SUM(c.c_acctbal), 2) AS sum_acctbal
+            FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY 1 ORDER BY 1""",
+        "distinct_suppliers_per_flag": """
+            SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_suppliers
+            FROM lineitem GROUP BY 1 ORDER BY 1""",
+        "events_user_max_gap": """
+            WITH g AS (
+                SELECT user_id,
+                       CAST(date_diff('microsecond',
+                            lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id),
+                            ts) AS DOUBLE) / 1000000 AS gap
+                FROM events)
+            SELECT user_id,
+                   ROUND(COALESCE(MAX(gap), 0), 3) AS max_gap_sec,
+                   COUNT(*) AS n_events
+            FROM g GROUP BY 1 ORDER BY 1""",
+        "docs_with_term": """
+            SELECT lang, COUNT(*) AS n_docs
+            FROM documents WHERE contains(text, 'spark')
+            GROUP BY 1 ORDER BY 1""",
+        "union_names_count": """
+            SELECT COUNT(*) AS n_names, COUNT(DISTINCT name) AS n_distinct
+            FROM (SELECT n_name AS name FROM nation
+                  UNION ALL SELECT r_name FROM region)""",
         # rows-only (non-SQL-expressible): knn_lsh_query,
         # minhash_dup_clusters, simhash_docs, lang_id_docs,
-        # fingerprint_docs, kg_triples, kg_mentions_all
+        # fingerprint_docs, kg_triples, kg_mentions_all, kg_top_entities
     }

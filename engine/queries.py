@@ -628,3 +628,185 @@ QUERIES = {
     "kg_triples": kg_triples,
     "kg_mentions_all": kg_mentions_all,
 }
+
+
+# --- additional SQL-checked coverage -------------------------------------
+def orders_monthly(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def trunc(t: pa.Table) -> pa.Table:
+        return pa.table({"month": pc.floor_temporal(t["o_orderdate"], unit="month"),
+                         "o_totalprice": t["o_totalprice"]})
+
+    out = (
+        ds.map_batches(trunc, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="sum_price"))
+        .to_pandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"sum_price": 2})
+
+
+def top_parts_by_qty(sf_dir: str) -> pd.DataFrame:
+    """part (small) broadcast onto the lineitem aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import broadcast_join
+
+    agg = (
+        _rp(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+        .groupby("l_partkey")
+        .aggregate(Sum("l_quantity", alias_name="total_qty"),
+                   Count(alias_name="n_items"))
+    )
+    part = _rp(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    out = (
+        broadcast_join(agg, part.rename(columns={"p_partkey": "l_partkey"}),
+                       on="l_partkey")
+        .to_pandas()
+        .rename(columns={"l_partkey": "p_partkey"})
+        .sort_values(["total_qty", "p_partkey"], ascending=[False, True])
+        .head(15)
+        .reset_index(drop=True)
+    )[["p_partkey", "p_name", "total_qty", "n_items"]]
+    return _round(out, {"total_qty": 2})
+
+
+def nation_customer_stats(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import broadcast_join
+
+    nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = (
+        broadcast_join(
+            _rp(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+            nation.rename(columns={"n_nationkey": "c_nationkey"}),
+            on="c_nationkey",
+        )
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"),
+                   Sum("c_acctbal", alias_name="sum_acctbal"))
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"sum_acctbal": 2})
+
+
+def distinct_suppliers_per_flag(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT) via two-level aggregation: per-batch distinct
+    pairs, groupby pair dedup, then count per flag — the scalable
+    exact-distinct pattern (no single-node set)."""
+    from ray.data.aggregate import Count
+
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_suppkey"])
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        return t.to_pandas().drop_duplicates()
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_suppkey"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n_suppliers"))
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+
+
+def events_user_max_gap(sf_dir: str) -> pd.DataFrame:
+    """Largest inter-event gap (seconds) per user — ordered-log fold."""
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ub"] = df["user_id"] % 64
+        return df
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        d = g["ts"].diff().dt.total_seconds()
+        d[~g["user_id"].eq(g["user_id"].shift())] = np.nan
+        g = g.assign(gap=d)
+        out = g.groupby("user_id", as_index=False).agg(
+            max_gap_sec=("gap", "max"), n_events=("gap", "size")
+        )
+        out["max_gap_sec"] = out["max_gap_sec"].fillna(0.0)
+        return out
+
+    return (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(gaps, batch_format="pandas")
+        .to_pandas()[["user_id", "max_gap_sec", "n_events"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+        .pipe(_round, {"max_gap_sec": 3})
+    )
+
+
+def docs_with_term(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return (
+        ds.map_batches(
+            lambda t: t.filter(pc.match_substring(t["text"], "spark")),
+            batch_format="pyarrow",
+        )
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+
+def union_names_count(sf_dir: str) -> pd.DataFrame:
+    n = _rp(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: pa.table({"name": t["n_name"]}), batch_format="pyarrow"
+    )
+    r = _rp(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: pa.table({"name": t["r_name"]}), batch_format="pyarrow"
+    )
+    u = n.union(r)
+    return pd.DataFrame({"n_names": [u.count()], "n_distinct": [len(u.unique("name"))]})
+
+
+def kg_top_entities(sf_dir: str) -> pd.DataFrame:
+    """O6: top-k head entities of the constructed graph (rows-only)."""
+    from ray.data.aggregate import Count
+
+    from .pipeline import triples_dataset
+
+    return (
+        triples_dataset(transcripts_path(sf_dir))
+        .groupby("subj")
+        .aggregate(Count(alias_name="n_triples"))
+        .to_pandas()
+        .sort_values(["n_triples", "subj"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+QUERIES.update(
+    {
+        "orders_monthly": orders_monthly,
+        "top_parts_by_qty": top_parts_by_qty,
+        "nation_customer_stats": nation_customer_stats,
+        "distinct_suppliers_per_flag": distinct_suppliers_per_flag,
+        "events_user_max_gap": events_user_max_gap,
+        "docs_with_term": docs_with_term,
+        "union_names_count": union_names_count,
+        "kg_top_entities": kg_top_entities,
+    }
+)
