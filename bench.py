@@ -65,6 +65,8 @@ def run_bench() -> dict:
         "minhash_dup_clusters", "lang_id_docs", "simhash_docs",
     ]
     per_query = {}
+    if os.environ.get("GRAFT_SKIP_QUERIES") == "1":
+        bench_queries = []
     for name in bench_queries:
         t0 = time.perf_counter()
         res = QUERIES[name](sf_dir)
@@ -88,7 +90,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,

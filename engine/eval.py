@@ -36,6 +36,33 @@ MENTION_KEYS = ["sent_id", "level", "surface", "label", "occ"]
 TRIPLE_KEYS = ["subj", "pred", "obj"]
 
 
+def positional_f1(gold_sents: list[list[str]], pred_sents: list[list[str]]
+                  ) -> tuple[float, float, float, float]:
+    """Position-indexed span P/R/F1 + token accuracy — the CoNLL-style
+    training-time metric (utils/metric.py:15-166 semantics: spans keyed
+    by (sent, start, end, label) from BIOES tags, labels upper-cased).
+    Inputs are parallel per-sentence label lists."""
+    from .ops.spans import parse_spans
+
+    correct_tok = total_tok = 0
+    gold_spans: set[tuple] = set()
+    pred_spans: set[tuple] = set()
+    for i, (g, p) in enumerate(zip(gold_sents, pred_sents)):
+        g = [x.upper() for x in g]
+        p = [x.upper() for x in p]
+        total_tok += len(g)
+        correct_tok += sum(1 for a, b in zip(g, p) if a == b)
+        toks = [""] * len(g)
+        for surf, lab, s, e in parse_spans(toks, g):
+            gold_spans.add((i, s, e, lab))
+        for surf, lab, s, e in parse_spans(toks, p):
+            pred_spans.add((i, s, e, lab))
+    prec, rec, f1 = prf(len(gold_spans), len(pred_spans),
+                        len(gold_spans & pred_spans))
+    acc = correct_tok / total_tok if total_tok else -1.0
+    return acc, prec, rec, f1
+
+
 def evaluate_datasets(gold_ds, pred_ds, keys: list[str]) -> tuple[float, float, float]:
     """Distributed eval: the G3 join-count expressed as a co-group —
     digest the full key per row, tag the side, union, groupby(digest);

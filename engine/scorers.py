@@ -173,6 +173,22 @@ class TokenSingleScorer(GazetteerScorer):
         cores = [token_core(t) for t in tokens]
         return self.spans_to_biose(len(tokens), self.find_spans(cores))
 
+    def label_nbest(self, tokens: list[str], n: int = 3
+                    ) -> list[tuple[list[str], float]]:
+        """n-best analog of the CRF n-best decode (model/crf.py:268-418,
+        written with '# score' headers by utils/data.py:355-392):
+        alternative labelings drop the rightmost span one at a time,
+        scores decay deterministically."""
+        cores = [token_core(t) for t in tokens]
+        spans = self.find_spans(cores)
+        out = []
+        for k in range(min(n, len(spans) + 1)):
+            keep = spans[: len(spans) - k]
+            out.append(
+                (self.spans_to_biose(len(tokens), keep), round(0.9 ** k, 6))
+            )
+        return out
+
 
 class TokenMultiScorer(GazetteerScorer):
     """token-multi variant: one ^-joined multi-label per token, one atom
