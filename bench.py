@@ -38,6 +38,9 @@ def run_bench() -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from engine.pipeline import tune_for_session
+
+    tune_for_session()
 
     from engine.pipeline import run_kg_pipeline
     from engine.queries import QUERIES, transcripts_path

@@ -27,6 +27,9 @@ def _ensure_ray() -> bool:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from .pipeline import tune_for_session
+
+    tune_for_session()
     return started
 
 

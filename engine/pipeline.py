@@ -34,17 +34,6 @@ from .kgflow import (SCENARIOS, SentenceProcessor, kg_mentions,
                      relation_candidates, scenario_mentions)
 from .schema import MENTIONS, TRIPLES, stable_sent_id
 
-_MENTION_STRUCT = pa.struct(
-    [
-        ("surface", pa.string()),
-        ("label", pa.string()),
-        ("start", pa.int32()),
-        ("end", pa.int32()),
-        ("occ", pa.int32()),
-    ]
-)
-
-
 def fnv_bucket(s: str, buckets: int) -> int:
     h = 0xCBF29CE484222325
     for b in s.encode("utf-8"):
@@ -58,15 +47,38 @@ def read_transcripts(path: str):
     return rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
 
 
-def _pool_size(concurrency: int | None) -> int:
-    """Actor-pool size for the fused per-turn stage: leave headroom for
-    the read/shuffle/write stages so the pipeline doesn't serialize."""
-    if concurrency is not None:
-        return concurrency
+def _cpus() -> int:
     import ray
 
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return max(2, cpus - 2)
+    return int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+
+
+def _pool_size(concurrency: int | None) -> int:
+    """Actor-pool size for the fused per-turn stage: leave headroom for
+    the read/write tasks AND the hash-shuffle aggregator actors so no
+    stage starves (a pool that reserves every CPU deadlocks the
+    pipeline when the shuffle needs actor slots)."""
+    if concurrency is not None:
+        return concurrency
+    cpus = _cpus()
+    return max(2, cpus - 2 - max(1, cpus // 8))
+
+
+def tune_for_session() -> None:
+    """Size Ray Data's shuffle machinery to the session: hash-shuffle
+    strategy (the sort-based default plans its map side as ONE task for
+    materialized inputs — zero parallelism), with partition/aggregator
+    counts bounded by the CPU count so shuffle actors always fit next
+    to the per-turn actor pool. Call once after ray.init (bench, CLI,
+    tests); the driver's own session keeps Ray defaults."""
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    cpus = _cpus()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.default_hash_shuffle_parallelism = max(4, min(64, cpus * 2))
+    ctx.max_hash_shuffle_aggregators = max(1, cpus // 8)
 
 
 class MentionExtractor:
@@ -114,7 +126,8 @@ class KgTurnProcessor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv_ids, turn_idxs, sids = [], [], []
-        mention_col, ri_col, rp_col, rj_col = [], [], [], []
+        m_sur, m_lab, m_st, m_en, m_occ = [], [], [], [], []
+        ri_col, rp_col, rj_col = [], [], []
         for conv_id, turn_idx, text in zip(
             batch["conv_id"].to_pylist(),
             batch["turn_idx"].to_pylist(),
@@ -126,21 +139,26 @@ class KgTurnProcessor:
             conv_ids.append(conv_id)
             turn_idxs.append(turn_idx)
             sids.append(stable_sent_id(conv_id, turn_idx))
-            mention_col.append(
-                [
-                    {"surface": s, "label": l, "start": st, "end": en, "occ": oc}
-                    for s, l, st, en, oc in ments
-                ]
-            )
+            m_sur.append([m[0] for m in ments])
+            m_lab.append([m[1] for m in ments])
+            m_st.append([m[2] for m in ments])
+            m_en.append([m[3] for m in ments])
+            m_occ.append([m[4] for m in ments])
             ri_col.append([r[0] for r in rels])
             rp_col.append([r[1] for r in rels])
             rj_col.append([r[2] for r in rels])
+        # flat parallel list columns (not list<struct>): arrow<->python
+        # conversion on the reduce side is several times cheaper
         return pa.table(
             {
                 "conv_id": pa.array(conv_ids, pa.string()),
                 "turn_idx": pa.array(turn_idxs, pa.int32()),
                 "sent_id": pa.array(sids, pa.int64()),
-                "mentions": pa.array(mention_col, pa.list_(_MENTION_STRUCT)),
+                "m_surface": pa.array(m_sur, pa.list_(pa.string())),
+                "m_label": pa.array(m_lab, pa.list_(pa.string())),
+                "m_start": pa.array(m_st, pa.list_(pa.int32())),
+                "m_end": pa.array(m_en, pa.list_(pa.int32())),
+                "m_occ": pa.array(m_occ, pa.list_(pa.int32())),
                 "rel_i": pa.array(ri_col, pa.list_(pa.int32())),
                 "rel_pred": pa.array(rp_col, pa.list_(pa.string())),
                 "rel_j": pa.array(rj_col, pa.list_(pa.int32())),
@@ -181,20 +199,26 @@ def _resolve_bucket(group: pa.Table, emit: str) -> pa.Table:
             triples.extend(t)
             turns.clear()
 
-    for row in group.to_pylist():
-        if row["conv_id"] != cur:
+    cols = {
+        name: group[name].to_pylist()
+        for name in ("conv_id", "turn_idx", "sent_id", "m_surface", "m_label",
+                     "m_start", "m_end", "m_occ", "rel_i", "rel_pred", "rel_j")
+    }
+    for conv_id, turn_idx, sent_id, msur, mlab, mst, men, mocc, ri, rp, rj in zip(
+        cols["conv_id"], cols["turn_idx"], cols["sent_id"], cols["m_surface"],
+        cols["m_label"], cols["m_start"], cols["m_end"], cols["m_occ"],
+        cols["rel_i"], cols["rel_pred"], cols["rel_j"],
+    ):
+        if conv_id != cur:
             flush()
-            cur = row["conv_id"]
+            cur = conv_id
         turns.append(
             {
-                "conv_id": row["conv_id"],
-                "turn_idx": row["turn_idx"],
-                "sent_id": row["sent_id"],
-                "mentions": [
-                    (m["surface"], m["label"], m["start"], m["end"], m["occ"])
-                    for m in row["mentions"]
-                ],
-                "rels": list(zip(row["rel_i"], row["rel_pred"], row["rel_j"])),
+                "conv_id": conv_id,
+                "turn_idx": turn_idx,
+                "sent_id": sent_id,
+                "mentions": list(zip(msur, mlab, mst, men, mocc)),
+                "rels": list(zip(ri, rp, rj)),
             }
         )
     flush()

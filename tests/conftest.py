@@ -22,6 +22,9 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from engine.pipeline import tune_for_session
+
+    tune_for_session()
     yield
     ray.shutdown()
 
