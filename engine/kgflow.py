@@ -42,21 +42,37 @@ class SentenceProcessor:
         self.multi = TokenMultiScorer()
         self.morph = MorphScorer()
 
-    def process(self, text: str) -> dict:
+    def process(self, text: str, levels: tuple[str, ...] = SCENARIOS) -> dict:
+        """Per-sentence chain; ``levels`` prunes scenario work the caller
+        doesn't consume (the KG track needs only morph_hybrid +
+        multi_align — skipping token-single scoring and the un-pruned
+        morph_yap decode saves ~1/3 of per-turn compute). Values for a
+        requested level are identical whatever other levels are on."""
         tokens = tokenize(text)
-        labels_single = self.single.label(tokens)
+        lv = set(levels)
         labels_multi = self.multi.label(tokens)
 
         lattice = build_sentence_lattice(tokens)
         pruned = prune_lattice(lattice, labels_multi)
         morphs = md_select(pruned)            # [(form, token_id)] hybrid track
-        morphs_yap = md_select(lattice)       # un-pruned track (morph_yap)
-
         forms = [f for f, _ in morphs]
-        labels_morph = self.morph.label(forms)
-        labels_morph_yap = self.morph.label([f for f, _ in morphs_yap])
-        labels_multi_align = [b for _, b in soft_merge_bio_labels(labels_multi, morphs)]
-        labels_tok = morph_to_token_align(labels_morph, morphs, len(tokens))
+
+        labels_single = self.single.label(tokens) if "token_single" in lv else []
+        if "morph_yap" in lv:
+            morphs_yap = md_select(lattice)   # un-pruned track
+            labels_morph_yap = self.morph.label([f for f, _ in morphs_yap])
+        else:
+            morphs_yap, labels_morph_yap = [], []
+        need_morph = lv & {"morph_hybrid", "morph_hybrid_tok"}
+        labels_morph = self.morph.label(forms) if need_morph else []
+        labels_multi_align = (
+            [b for _, b in soft_merge_bio_labels(labels_multi, morphs)]
+            if "multi_align" in lv else []
+        )
+        labels_tok = (
+            morph_to_token_align(labels_morph, morphs, len(tokens))
+            if "morph_hybrid_tok" in lv else []
+        )
 
         return {
             "tokens": tokens,
@@ -72,14 +88,19 @@ class SentenceProcessor:
         }
 
 
-def scenario_mentions(rec: dict) -> dict[str, list[tuple[str, str, int, int, int]]]:
+def scenario_mentions(rec: dict, levels: tuple[str, ...] = SCENARIOS
+                      ) -> dict[str, list[tuple[str, str, int, int, int]]]:
     """Per scenario: [(surface, label, start, end, occ)] for one turn."""
+    src = {
+        "token_single": ("tokens", "labels_single"),
+        "multi_align": ("morph_forms", "labels_multi_align"),
+        "morph_yap": ("yap_forms", "labels_morph_yap"),
+        "morph_hybrid": ("morph_forms", "labels_morph"),
+        "morph_hybrid_tok": ("tokens", "labels_tok_from_morph"),
+    }
     return {
-        "token_single": mentions_with_occ(rec["tokens"], rec["labels_single"]),
-        "multi_align": mentions_with_occ(rec["morph_forms"], rec["labels_multi_align"]),
-        "morph_yap": mentions_with_occ(rec["yap_forms"], rec["labels_morph_yap"]),
-        "morph_hybrid": mentions_with_occ(rec["morph_forms"], rec["labels_morph"]),
-        "morph_hybrid_tok": mentions_with_occ(rec["tokens"], rec["labels_tok_from_morph"]),
+        lvl: mentions_with_occ(rec[src[lvl][0]], rec[src[lvl][1]])
+        for lvl in levels
     }
 
 
@@ -91,7 +112,7 @@ def kg_mentions(rec: dict) -> list[tuple[str, str, int, int, int]]:
     (skeleton bridge -> gpe:paris) can resolve — this is where the
     hybrid's two tracks genuinely complement each other. occ is
     recomputed over the merged list."""
-    ments = scenario_mentions(rec)
+    ments = scenario_mentions(rec, ("morph_hybrid", "multi_align"))
     base = ments["morph_hybrid"]
     taken = [(st, en) for _s, _l, st, en, _o in base]
     merged = list(base)
@@ -136,7 +157,8 @@ def relation_candidates(
     return out
 
 
-def resolve_conversation(turns: list[dict]) -> tuple[list[dict], list[dict]]:
+def resolve_conversation(turns: list[dict], emit_entities: bool = True
+                         ) -> tuple[list[dict], list[dict]]:
     """Conversation-scoped entity linking + triple emission.
 
     ``turns``: per-turn dicts sorted by turn_idx with keys
@@ -175,17 +197,18 @@ def resolve_conversation(turns: list[dict]) -> tuple[list[dict], list[dict]]:
             if not canon.startswith("nil:") and canon not in seen:
                 seen[canon] = len(seen)
             canons.append(canon)
-            entities.append(
-                {
-                    "mention_id": f"{turn['sent_id']}:{start}",
-                    "conv_id": turn["conv_id"],
-                    "turn_idx": turn["turn_idx"],
-                    "surface": surface,
-                    "label": label,
-                    "canon_id": canon,
-                    "score": score,
-                }
-            )
+            if emit_entities:
+                entities.append(
+                    {
+                        "mention_id": f"{turn['sent_id']}:{start}",
+                        "conv_id": turn["conv_id"],
+                        "turn_idx": turn["turn_idx"],
+                        "surface": surface,
+                        "label": label,
+                        "canon_id": canon,
+                        "score": score,
+                    }
+                )
         for i, pred, j in turn["rels"]:
             triples.append(
                 {

@@ -97,11 +97,9 @@ class MentionExtractor:
             batch["turn_idx"].to_pylist(),
             batch["text"].to_pylist(),
         ):
-            rec = self.sp.process(text)
+            rec = self.sp.process(text, levels=self.levels)
             sid = stable_sent_id(conv_id, turn_idx)
-            for level, ml in scenario_mentions(rec).items():
-                if level not in self.levels:
-                    continue
+            for level, ml in scenario_mentions(rec, self.levels).items():
                 for surface, label, start, end, occ in ml:
                     out["sent_id"].append(sid)
                     out["conv_id"].append(conv_id)
@@ -133,7 +131,7 @@ class KgTurnProcessor:
             batch["turn_idx"].to_pylist(),
             batch["text"].to_pylist(),
         ):
-            rec = self.sp.process(text)
+            rec = self.sp.process(text, levels=("morph_hybrid", "multi_align"))
             ments = kg_mentions(rec)
             rels = relation_candidates(rec["morph_forms"], ments)
             conv_ids.append(conv_id)
@@ -192,9 +190,11 @@ def _resolve_bucket(group: pa.Table, emit: str) -> pa.Table:
     turns: list[dict] = []
     cur = None
 
+    emit_entities = emit == "entities"
+
     def flush():
         if turns:
-            e, t = resolve_conversation(turns)
+            e, t = resolve_conversation(turns, emit_entities=emit_entities)
             entities.extend(e)
             triples.extend(t)
             turns.clear()
