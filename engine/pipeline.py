@@ -78,7 +78,10 @@ def tune_for_session() -> None:
     cpus = _cpus()
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.default_hash_shuffle_parallelism = max(4, min(64, cpus * 2))
-    ctx.max_hash_shuffle_aggregators = max(1, cpus // 8)
+    # reduce-side map_groups work runs ON the aggregator actors: enough
+    # of them to parallelize the reduce at high CPU counts, few enough
+    # that the map-side actor pool isn't starved at low counts
+    ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)
 
 
 class MentionExtractor:
@@ -133,6 +136,11 @@ class KgTurnProcessor:
         ):
             rec = self.sp.process(text, levels=("morph_hybrid", "multi_align"))
             ments = kg_mentions(rec)
+            if not ments:
+                # mention-free turns can't affect the linking walk or
+                # emit triples — drop them BEFORE the reassembly
+                # shuffle (roughly a quarter of all turns)
+                continue
             rels = relation_candidates(rec["morph_forms"], ments)
             conv_ids.append(conv_id)
             turn_idxs.append(turn_idx)
