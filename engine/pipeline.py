@@ -81,7 +81,7 @@ def tune_for_session() -> None:
     # reduce-side map_groups work runs ON the aggregator actors: enough
     # of them to parallelize the reduce at high CPU counts, few enough
     # that the map-side actor pool isn't starved at low counts
-    ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)
+    ctx.max_hash_shuffle_aggregators = max(2, cpus // 3)
 
 
 class MentionExtractor:
@@ -122,13 +122,14 @@ class KgTurnProcessor:
     Output stays small so the conversation reassembly shuffle moves
     mention-level data, not text/lattices."""
 
-    def __init__(self) -> None:
+    def __init__(self, num_buckets: int = 32) -> None:
         self.sp = SentenceProcessor()
+        self.num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        conv_ids, turn_idxs, sids = [], [], []
-        m_sur, m_lab, m_st, m_en, m_occ = [], [], [], [], []
-        ri_col, rp_col, rj_col = [], [], []
+        import pickle
+
+        conv_ids, turn_idxs, buckets, payloads = [], [], [], []
         for conv_id, turn_idx, text in zip(
             batch["conv_id"].to_pylist(),
             batch["turn_idx"].to_pylist(),
@@ -144,30 +145,22 @@ class KgTurnProcessor:
             rels = relation_candidates(rec["morph_forms"], ments)
             conv_ids.append(conv_id)
             turn_idxs.append(turn_idx)
-            sids.append(stable_sent_id(conv_id, turn_idx))
-            m_sur.append([m[0] for m in ments])
-            m_lab.append([m[1] for m in ments])
-            m_st.append([m[2] for m in ments])
-            m_en.append([m[3] for m in ments])
-            m_occ.append([m[4] for m in ments])
-            ri_col.append([r[0] for r in rels])
-            rp_col.append([r[1] for r in rels])
-            rj_col.append([r[2] for r in rels])
-        # flat parallel list columns (not list<struct>): arrow<->python
-        # conversion on the reduce side is several times cheaper
+            buckets.append(fnv_bucket(conv_id, self.num_buckets))
+            # one opaque binary payload per turn: the shuffle then moves
+            # 4 flat columns instead of 8 nested list columns — far less
+            # arrow slicing/concat work in the exchange
+            payloads.append(
+                pickle.dumps(
+                    (stable_sent_id(conv_id, turn_idx), ments, rels),
+                    protocol=5,
+                )
+            )
         return pa.table(
             {
+                "bucket": pa.array(buckets, pa.int32()),
                 "conv_id": pa.array(conv_ids, pa.string()),
                 "turn_idx": pa.array(turn_idxs, pa.int32()),
-                "sent_id": pa.array(sids, pa.int64()),
-                "m_surface": pa.array(m_sur, pa.list_(pa.string())),
-                "m_label": pa.array(m_lab, pa.list_(pa.string())),
-                "m_start": pa.array(m_st, pa.list_(pa.int32())),
-                "m_end": pa.array(m_en, pa.list_(pa.int32())),
-                "m_occ": pa.array(m_occ, pa.list_(pa.int32())),
-                "rel_i": pa.array(ri_col, pa.list_(pa.int32())),
-                "rel_pred": pa.array(rp_col, pa.list_(pa.string())),
-                "rel_j": pa.array(rj_col, pa.list_(pa.int32())),
+                "payload": pa.array(payloads, pa.binary()),
             }
         )
 
@@ -207,26 +200,24 @@ def _resolve_bucket(group: pa.Table, emit: str) -> pa.Table:
             triples.extend(t)
             turns.clear()
 
-    cols = {
-        name: group[name].to_pylist()
-        for name in ("conv_id", "turn_idx", "sent_id", "m_surface", "m_label",
-                     "m_start", "m_end", "m_occ", "rel_i", "rel_pred", "rel_j")
-    }
-    for conv_id, turn_idx, sent_id, msur, mlab, mst, men, mocc, ri, rp, rj in zip(
-        cols["conv_id"], cols["turn_idx"], cols["sent_id"], cols["m_surface"],
-        cols["m_label"], cols["m_start"], cols["m_end"], cols["m_occ"],
-        cols["rel_i"], cols["rel_pred"], cols["rel_j"],
+    import pickle
+
+    for conv_id, turn_idx, payload in zip(
+        group["conv_id"].to_pylist(),
+        group["turn_idx"].to_pylist(),
+        group["payload"].to_pylist(),
     ):
         if conv_id != cur:
             flush()
             cur = conv_id
+        sent_id, ments, rels = pickle.loads(payload)
         turns.append(
             {
                 "conv_id": conv_id,
                 "turn_idx": turn_idx,
                 "sent_id": sent_id,
-                "mentions": list(zip(msur, mlab, mst, men, mocc)),
-                "rels": list(zip(ri, rp, rj)),
+                "mentions": ments,
+                "rels": rels,
             }
         )
     flush()
@@ -246,33 +237,22 @@ def mentions_dataset(path: str, levels: tuple[str, ...] = SCENARIOS,
     )
 
 
-def _add_bucket_col(t: pa.Table, num_buckets: int) -> pa.Table:
-    return t.append_column(
-        "bucket",
-        pa.array([fnv_bucket(c, num_buckets) for c in t["conv_id"].to_pylist()],
-                 pa.int32()),
-    )
-
-
 def raw_triples_dataset(path: str, emit: str = "triples",
-                        concurrency: int | None = None, batch_size: int = 512,
+                        concurrency: int | None = None, batch_size: int = 2048,
                         num_buckets: int = 32):
-    """transcripts -> per-turn KG rows -> conversation reassembly
-    (ONE groupby keyed on hash(conv_id) bucket; conversations never
-    split across buckets) -> linking walk -> entity/triple rows
-    (pre-canon)."""
+    """transcripts -> per-turn KG rows (compact blob payloads) ->
+    conversation reassembly (ONE groupby keyed on hash(conv_id) bucket;
+    conversations never split across buckets) -> linking walk ->
+    entity/triple rows (pre-canon)."""
     turns = read_transcripts(path).map_batches(
         KgTurnProcessor,
+        fn_constructor_kwargs={"num_buckets": num_buckets},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=_pool_size(concurrency),
     )
-    return (
-        turns.map_batches(lambda t: _add_bucket_col(t, num_buckets),
-                          batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(lambda g, emit=emit: _resolve_bucket(g, emit),
-                    batch_format="pyarrow")
+    return turns.groupby("bucket").map_groups(
+        lambda g, emit=emit: _resolve_bucket(g, emit), batch_format="pyarrow"
     )
 
 
@@ -407,7 +387,7 @@ def canonicalize_and_dedup(triples_ds, num_partitions: int = 16,
 
 
 def triples_dataset(path: str, concurrency: int | None = None,
-                    batch_size: int = 512, num_partitions: int = 16,
+                    batch_size: int = 2048, num_partitions: int = 16,
                     small_threshold: int = 2_000_000):
     """Full in-memory (lazy) flagship graph: transcripts -> deduped,
     canonicalized triples Dataset. small_threshold=0 forces the fully
@@ -443,7 +423,7 @@ def run_kg_pipeline(
     out_dir: str,
     num_buckets: int = 32,
     concurrency: int | None = None,
-    batch_size: int = 512,
+    batch_size: int = 2048,
     num_partitions: int = 16,
 ) -> dict:
     """Checkpointed flagship run. Stage A (heavy, resumable): per-turn
@@ -466,9 +446,11 @@ def run_kg_pipeline(
 
     ds = read_transcripts(input_path).map_batches(keep, batch_format="pyarrow")
     turns = ds.map_batches(
-        KgTurnProcessor, batch_format="pyarrow", batch_size=batch_size,
+        KgTurnProcessor,
+        fn_constructor_kwargs={"num_buckets": num_buckets},
+        batch_format="pyarrow", batch_size=batch_size,
         concurrency=_pool_size(concurrency),
-    ).map_batches(lambda t: _add_bucket_col(t, num_buckets), batch_format="pyarrow")
+    )
 
     def resolve_and_write(group: pa.Table, out_dir=out_dir, inp=input_path) -> pa.Table:
         """Fused stage: ONE shuffle keyed on the conv-hash bucket does
