@@ -129,7 +129,11 @@ class KgTurnProcessor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pickle
 
-        conv_ids, turn_idxs, buckets, payloads = [], [], [], []
+        # map-side partition packing: all of this batch's turns for one
+        # conv-hash bucket become ONE shuffle row (bucket, pickled list)
+        # — the exchange moves ~num_buckets rows per batch instead of
+        # one row per turn, so its per-row overhead never dominates.
+        packs: dict[int, list] = {}
         for conv_id, turn_idx, text in zip(
             batch["conv_id"].to_pylist(),
             batch["turn_idx"].to_pylist(),
@@ -143,24 +147,17 @@ class KgTurnProcessor:
                 # shuffle (roughly a quarter of all turns)
                 continue
             rels = relation_candidates(rec["morph_forms"], ments)
-            conv_ids.append(conv_id)
-            turn_idxs.append(turn_idx)
-            buckets.append(fnv_bucket(conv_id, self.num_buckets))
-            # one opaque binary payload per turn: the shuffle then moves
-            # 4 flat columns instead of 8 nested list columns — far less
-            # arrow slicing/concat work in the exchange
-            payloads.append(
-                pickle.dumps(
-                    (stable_sent_id(conv_id, turn_idx), ments, rels),
-                    protocol=5,
-                )
+            packs.setdefault(fnv_bucket(conv_id, self.num_buckets), []).append(
+                (conv_id, turn_idx, stable_sent_id(conv_id, turn_idx), ments, rels)
             )
+        buckets = sorted(packs)
         return pa.table(
             {
                 "bucket": pa.array(buckets, pa.int32()),
-                "conv_id": pa.array(conv_ids, pa.string()),
-                "turn_idx": pa.array(turn_idxs, pa.int32()),
-                "payload": pa.array(payloads, pa.binary()),
+                "payload": pa.array(
+                    [pickle.dumps(packs[b], protocol=5) for b in buckets],
+                    pa.binary(),
+                ),
             }
         )
 
@@ -179,13 +176,20 @@ _ENTITY_SCHEMA = pa.schema(
 
 
 def _resolve_bucket(group: pa.Table, emit: str) -> pa.Table:
-    """One call per conv-hash BUCKET (not per conversation): sort rows
-    by (conv_id, turn_idx) — the in-group half of the reassembly
-    contract — then run the order-dependent linking walk per
-    conversation slice. Bounded fan-out regardless of #conversations."""
+    """One call per conv-hash BUCKET (not per conversation): unpack the
+    map-side packs, sort all turn entries by (conv_id, turn_idx) — the
+    in-group half of the reassembly contract — then run the
+    order-dependent linking walk per conversation slice. Bounded
+    fan-out regardless of #conversations."""
+    import pickle
+
     from .kgflow import resolve_conversation
 
-    group = group.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    entries: list[tuple] = []
+    for payload in group["payload"].to_pylist():
+        entries.extend(pickle.loads(payload))
+    entries.sort(key=lambda e: (e[0], e[1]))  # (conv_id, turn_idx)
+
     entities: list[dict] = []
     triples: list[dict] = []
     turns: list[dict] = []
@@ -200,17 +204,10 @@ def _resolve_bucket(group: pa.Table, emit: str) -> pa.Table:
             triples.extend(t)
             turns.clear()
 
-    import pickle
-
-    for conv_id, turn_idx, payload in zip(
-        group["conv_id"].to_pylist(),
-        group["turn_idx"].to_pylist(),
-        group["payload"].to_pylist(),
-    ):
+    for conv_id, turn_idx, sent_id, ments, rels in entries:
         if conv_id != cur:
             flush()
             cur = conv_id
-        sent_id, ments, rels = pickle.loads(payload)
         turns.append(
             {
                 "conv_id": conv_id,
@@ -470,7 +467,7 @@ def run_kg_pipeline(
 
         pq.write_table(triples, tmp)
         os.replace(tmp, final)  # atomic
-        man = {"bucket": b, "input": inp, "turn_rows": group.num_rows,
+        man = {"bucket": b, "input": inp, "pack_rows": group.num_rows,
                "triple_rows": triples.num_rows, "complete": True}
         mtmp = os.path.join(_manifest_dir(out_dir), f"bucket-{b}.json.tmp")
         mfin = os.path.join(_manifest_dir(out_dir), f"bucket-{b}.json")
