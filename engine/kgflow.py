@@ -52,14 +52,23 @@ class SentenceProcessor:
         lv = set(levels)
         labels_multi = self.multi.label(tokens)
 
-        lattice = build_sentence_lattice(tokens)
-        pruned = prune_lattice(lattice, labels_multi)
-        morphs = md_select(pruned)            # [(form, token_id)] hybrid track
-        forms = [f for f, _ in morphs]
+        if "'" not in text:
+            # exact fast path: no fused token -> every token has exactly
+            # one single-morpheme candidate (candidate_segmentations
+            # returns [[token]]), every multi-tag has one atom, pruning
+            # keeps the only path and MD returns the tokens unchanged.
+            morphs = [(tok, i) for i, tok in enumerate(tokens, start=1)]
+            forms = tokens
+            lattice = None
+        else:
+            lattice = build_sentence_lattice(tokens)
+            pruned = prune_lattice(lattice, labels_multi)
+            morphs = md_select(pruned)        # [(form, token_id)] hybrid track
+            forms = [f for f, _ in morphs]
 
         labels_single = self.single.label(tokens) if "token_single" in lv else []
         if "morph_yap" in lv:
-            morphs_yap = md_select(lattice)   # un-pruned track
+            morphs_yap = morphs if lattice is None else md_select(lattice)
             labels_morph_yap = self.morph.label([f for f, _ in morphs_yap])
         else:
             morphs_yap, labels_morph_yap = [], []

@@ -471,7 +471,6 @@ def knn_cosine(sf_dir: str) -> pd.DataFrame:
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = (
         knn_bruteforce(ds, qm, k=10, dtype=np.float64)
-        .to_pandas()
         .sort_values(["query_idx", "score", "vec_id"],
                      ascending=[True, False, True])
         .reset_index(drop=True)
@@ -492,7 +491,6 @@ def knn_lsh_query(sf_dir: str) -> pd.DataFrame:
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     return (
         knn_lsh(ds, qm, dim=qm.shape[1], k=10)
-        .to_pandas()
         .sort_values(["query_idx", "score", "vec_id"],
                      ascending=[True, False, True])
         .reset_index(drop=True)
@@ -552,7 +550,7 @@ def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
 
 
 # --- transcripts (synthesized per sf scale) ------------------------------
-_SF_CONVS = {"sf0.001": 60, "sf0.01": 1200, "sf0.1": 500_000}
+_SF_CONVS = {"sf0.001": 60, "sf0.01": 1200, "sf0.1": 1_000_000}
 
 
 def transcripts_path(sf_dir: str) -> str:

@@ -30,6 +30,27 @@ def _matrix(col, dtype=np.float32) -> np.ndarray:
     return flat.reshape(n, -1)
 
 
+def _final_topk(ds, k: int) -> pd.DataFrame:
+    """Streaming driver-side final top-k merge: each upstream batch
+    already holds at most n_queries*k candidate rows, so the driver
+    keeps a bounded frontier while the dataset streams — no shuffle for
+    a reduction whose result is tiny by construction."""
+    frontier = None
+    for b in ds.iter_batches(batch_size=65536, batch_format="pandas"):
+        frontier = b if frontier is None else pd.concat([frontier, b])
+        frontier = (
+            frontier.sort_values(["query_idx", "score", "vec_id"],
+                                 ascending=[True, False, True])
+            .groupby("query_idx", as_index=False)
+            .head(k)
+        )
+    if frontier is None:
+        frontier = pd.DataFrame({"query_idx": pd.Series([], dtype="int32"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+    return frontier.reset_index(drop=True)
+
+
 def _norm(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -68,14 +89,7 @@ def knn_bruteforce(emb_ds, query_vecs: np.ndarray, k: int = 10,
             }
         )
 
-    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-
-    return (
-        emb_ds.map_batches(local_topk, batch_format="pyarrow")
-        .groupby("query_idx")
-        .map_groups(global_topk, batch_format="pandas")
-    )
+    return _final_topk(emb_ds.map_batches(local_topk, batch_format="pyarrow"), k)
 
 
 class LshIndexer:
@@ -152,11 +166,4 @@ def knn_lsh(emb_ds, query_vecs: np.ndarray, dim: int, k: int = 10,
             }
         )
 
-    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-
-    return (
-        bucketed.map_batches(local_topk, batch_format="pyarrow")
-        .groupby("query_idx")
-        .map_groups(global_topk, batch_format="pandas")
-    )
+    return _final_topk(bucketed.map_batches(local_topk, batch_format="pyarrow"), k)

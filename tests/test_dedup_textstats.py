@@ -108,7 +108,7 @@ def test_knn_bruteforce_exact(ray_session):
         }
     )
     q = vecs[:2].astype(np.float64)
-    out = knn_bruteforce(rd.from_arrow(t), q, k=5, dtype=np.float64).to_pandas()
+    out = knn_bruteforce(rd.from_arrow(t), q, k=5, dtype=np.float64)
     # numpy oracle
     def cos_topk(qv):
         vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
@@ -136,7 +136,7 @@ def test_knn_lsh_returns_self(ray_session):
                                   pa.list_(pa.float32())),
         }
     )
-    out = knn_lsh(rd.from_arrow(t), vecs[:3], dim=16, k=5).to_pandas()
+    out = knn_lsh(rd.from_arrow(t), vecs[:3], dim=16, k=5)
     for qi in (0, 1, 2):
         sub = out[out["query_idx"] == qi]
         assert qi in set(sub["vec_id"])  # own bucket always probed
