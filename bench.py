@@ -96,7 +96,7 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True,
+            capture_output=True, text=True, check=True, timeout=560,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
