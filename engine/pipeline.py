@@ -263,11 +263,21 @@ def _batch_prededup(t: pa.Table) -> pa.Table:
         [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending"),
          ("conv_id", "ascending"), ("turn_idx", "ascending")]
     )
-    keys = pc.binary_join_element_wise(t["subj"], t["pred"], t["obj"], "\x1f")
-    mask = [True] + [
-        keys[i].as_py() != keys[i - 1].as_py() for i in range(1, len(keys))
-    ]
-    return t.filter(pa.array(mask))
+    keys = pc.binary_join_element_wise(
+        t["subj"].combine_chunks() if isinstance(t["subj"], pa.ChunkedArray) else t["subj"],
+        t["pred"].combine_chunks() if isinstance(t["pred"], pa.ChunkedArray) else t["pred"],
+        t["obj"].combine_chunks() if isinstance(t["obj"], pa.ChunkedArray) else t["obj"],
+        "\x1f",
+    )
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    n = len(keys)
+    # vectorized first-of-run mask (no per-row as_py loop)
+    neq = pc.not_equal(keys.slice(1, n - 1), keys.slice(0, n - 1))
+    mask = pa.concat_arrays(
+        [pa.array([True]), neq.combine_chunks() if isinstance(neq, pa.ChunkedArray) else neq]
+    )
+    return t.filter(mask)
 
 
 def _dedup_partition(group: pa.Table) -> pa.Table:
