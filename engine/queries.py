@@ -550,7 +550,7 @@ def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
 
 
 # --- transcripts (synthesized per sf scale) ------------------------------
-_SF_CONVS = {"sf0.001": 60, "sf0.01": 1200, "sf0.1": 1_000_000}
+_SF_CONVS = {"sf0.001": 60, "sf0.01": 1200, "sf0.1": 600_000}
 
 
 def transcripts_path(sf_dir: str) -> str:
