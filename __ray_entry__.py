@@ -68,7 +68,8 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM({_REV}), 2) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
-            GROUP BY 1, 2""",
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, s_suppkey""",
         "orders_priority_count": """
             SELECT o_orderpriority, COUNT(*) AS n_orders
             FROM orders GROUP BY 1 ORDER BY 1""",
@@ -119,10 +120,10 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY 1 ORDER BY 1""",
         "doc_stats_by_lang": """
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM(len(string_split(text, ' ')))                          AS sum_tokens,
-                   SUM(length(regexp_replace(text, '[^.!?,;]', '', 'g')))     AS sum_punct,
-                   SUM(length(regexp_replace(text, '[^0-9]', '', 'g')))       AS sum_digits,
-                   SUM(length(text))                                          AS sum_chars
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)                      AS sum_tokens,
+                   CAST(SUM(length(regexp_replace(text, '[^.!?,;]', '', 'g'))) AS BIGINT) AS sum_punct,
+                   CAST(SUM(length(regexp_replace(text, '[^0-9]', '', 'g'))) AS BIGINT)   AS sum_digits,
+                   CAST(SUM(length(text)) AS BIGINT)                                      AS sum_chars
             FROM documents GROUP BY 1 ORDER BY 1""",
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -161,15 +162,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_suppliers
             FROM lineitem GROUP BY 1 ORDER BY 1""",
         "events_user_max_gap": """
+            -- integer-microsecond gaps, half-up rounded to ms in integer
+            -- math on BOTH sides (pandas .round is half-even, DuckDB
+            -- ROUND is half-away; integer arithmetic sidesteps both)
             WITH g AS (
                 SELECT user_id,
-                       CAST(date_diff('microsecond',
+                       date_diff('microsecond',
                             lag(ts) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id),
-                            ts) AS DOUBLE) / 1000000 AS gap
+                            ts) AS gap_us
                 FROM events)
             SELECT user_id,
-                   ROUND(COALESCE(MAX(gap), 0), 3) AS max_gap_sec,
+                   CAST((COALESCE(MAX(gap_us), 0) + 500) // 1000 AS DOUBLE)
+                       / 1000 AS max_gap_sec,
                    COUNT(*) AS n_events
             FROM g GROUP BY 1 ORDER BY 1""",
         "docs_with_term": """

@@ -90,17 +90,14 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
 
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_mktsegment"])
-    keys = set(
-        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
-        .to_pylist()
-    )
-    kref = ray.put(keys)
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+    kref = ray.put(keys.combine_chunks())  # arrow array: zero-copy value_set
 
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
     def filt(t: pa.Table, kref=kref) -> pa.Table:
         ks = ray.get(kref)
-        mask = pa.array([k in ks for k in t["o_custkey"].to_pylist()])
+        mask = pc.is_in(t["o_custkey"], value_set=ks)
         return t.filter(mask).select(["o_orderkey", "o_orderdate"]).rename_columns(
             ["l_orderkey", "o_orderdate"]
         )
@@ -129,82 +126,71 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         .head(10)
         .reset_index(drop=True)
     )
-    # attach dates for the 10 winners from the (already-loaded) orders
-    odf = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
-                        columns=["o_orderkey", "o_orderdate"]).to_pandas()
+    # attach dates for the 10 winners only: key-filtered read (predicate
+    # pushes to parquet row groups — never the whole orders table)
+    win = list(rev["o_orderkey"])
+    odf = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+        filters=[("o_orderkey", "in", win)],
+    ).to_pandas()
     rev = rev.merge(odf, on="o_orderkey")[["o_orderkey", "o_orderdate", "revenue"]]
     return _round(rev, {"revenue": 2})
 
 
 def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
-    """Shape: region⋈nation⋈customer collapse into a custkey ->
-    (n_name, r_name) broadcast dict (dimension chain); orders annotate
-    per batch; lineitem pre-aggregates revenue per order per batch; ONE
-    hash join of the two partials; final tiny groupby. (At 100 TB the
-    customer map exceeds broadcast — swap the annotate step for
-    engine.joins.bucket_join keyed on custkey; lineitem side unchanged.)"""
+    """Shape: region⋈nation (25 rows) is the ONLY broadcast; customer
+    annotates (n_name, r_name) per batch from it; orders ⋈ customer is
+    a bucketed co-group hash join on custkey; lineitem pre-aggregates
+    revenue per order per batch, then ONE more bucket join on orderkey
+    and a tiny final groupby. No driver-side materialization of any
+    fact table — both large-large joins shuffle only (key, small-cols)
+    partial rows."""
     import pyarrow.parquet as pq
     import ray
 
     from ray.data.aggregate import Sum
 
+    from .joins import bucket_join
+
     region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_nationkey"]).to_pandas()
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    cust = cust.merge(dim[["n_nationkey", "n_name", "r_name"]],
-                      left_on="c_nationkey", right_on="n_nationkey")
-    cmap = {k: (n, r) for k, n, r in
-            zip(cust["c_custkey"], cust["n_name"], cust["r_name"])}
-    cref = ray.put(cmap)
+    dref = ray.put(dim[["n_nationkey", "n_name", "r_name"]])
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def annotate_cust(df: pd.DataFrame, dref=dref) -> pd.DataFrame:
+        d = ray.get(dref)
+        out = df.merge(d, left_on="c_nationkey", right_on="n_nationkey")
+        return out.rename(columns={"c_custkey": "o_custkey"})[
+            ["o_custkey", "n_name", "r_name"]
+        ]
+
+    cust_ann = cust.map_batches(annotate_cust, batch_format="pandas")
 
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-
-    def annotate(t: pa.Table, cref=cref) -> pa.Table:
-        cm = ray.get(cref)
-        pairs = [cm.get(k) for k in t["o_custkey"].to_pylist()]
-        return pa.table(
-            {
-                "l_orderkey": t["o_orderkey"],
-                "n_name": pa.array([p[0] if p else None for p in pairs], pa.string()),
-                "r_name": pa.array([p[1] if p else None for p in pairs], pa.string()),
-            }
-        )
-
-    # orderkey -> (n_name, r_name): built as a SMALL distributed pass
-    # over orders, then collected and broadcast. (At 100 TB the orders
-    # map exceeds broadcast: swap this annotate for the bucketed hash
-    # join on l_orderkey — engine.joins.bucket_join — with the lineitem
-    # side still pre-aggregated per batch.)
-    om_parts = orders.map_batches(annotate, batch_format="pyarrow").to_arrow_refs()
-    omap: dict[int, tuple[str, str]] = {}
-    for part in ray.get(om_parts):
-        for k, n, r in zip(part["l_orderkey"].to_pylist(),
-                           part["n_name"].to_pylist(),
-                           part["r_name"].to_pylist()):
-            if n is not None:
-                omap[k] = (n, r)
-    oref = ray.put(omap)
+    orders_ann = bucket_join(orders, cust_ann, on="o_custkey").map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"})[
+            ["l_orderkey", "n_name", "r_name"]
+        ],
+        batch_format="pandas",
+    )
 
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def partial(t: pa.Table, oref=oref) -> pd.DataFrame:
-        om = ray.get(oref)
+    def partial(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()
         df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        names = df["l_orderkey"].map(om)
-        df = df[names.notna()].assign(
-            n_name=[p[0] for p in names.dropna()],
-            r_name=[p[1] for p in names.dropna()],
-        )
-        return df.groupby(["r_name", "n_name"], as_index=False)["revenue"].sum()
+        return df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+
+    li_part = li.map_batches(partial, batch_format="pyarrow")
 
     out = (
-        li.map_batches(partial, batch_format="pyarrow")
+        bucket_join(li_part, orders_ann, on="l_orderkey")
         .groupby(["r_name", "n_name"])
         .aggregate(Sum("revenue", alias_name="revenue"))
-        .to_pandas()
+        .to_pandas()[["r_name", "n_name", "revenue"]]
         .sort_values(["r_name", "n_name"])
         .reset_index(drop=True)
     )
@@ -235,10 +221,14 @@ def top_suppliers(sf_dir: str) -> pd.DataFrame:
                        on="l_suppkey")
         .to_pandas()
         .rename(columns={"l_suppkey": "s_suppkey"})
-        .sort_values(["revenue", "s_suppkey"], ascending=[False, True])
-        .reset_index(drop=True)
     )[["s_suppkey", "s_name", "revenue", "n_items"]]
-    return _round(out, {"revenue": 2})
+    # round BEFORE sorting so tie-breaks match the oracle's
+    # ORDER BY rounded-revenue DESC, s_suppkey exactly
+    out = _round(out, {"revenue": 2})
+    return (
+        out.sort_values(["revenue", "s_suppkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
 
 
 def orders_priority_count(sf_dir: str) -> pd.DataFrame:
@@ -469,14 +459,16 @@ def knn_cosine(sf_dir: str) -> pd.DataFrame:
     qm = np.array(take["embedding"].to_pylist(), dtype=np.float64)
 
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = (
-        knn_bruteforce(ds, qm, k=10, dtype=np.float64)
-        .sort_values(["query_idx", "score", "vec_id"],
-                     ascending=[True, False, True])
+    out = knn_bruteforce(ds, qm, k=10, dtype=np.float64)
+    out["query_idx"] = out["query_idx"].astype("int64")
+    # round BEFORE the final sort: the oracle orders by ROUND(raw, 6),
+    # so neighbors that tie only after rounding must tie here too
+    out = _round(out, {"score": 6})
+    return (
+        out.sort_values(["query_idx", "score", "vec_id"],
+                        ascending=[True, False, True])
         .reset_index(drop=True)
     )
-    out["query_idx"] = out["query_idx"].astype("int64")
-    return _round(out, {"score": 6})
 
 
 def knn_lsh_query(sf_dir: str) -> pd.DataFrame:
@@ -708,11 +700,17 @@ def distinct_suppliers_per_flag(sf_dir: str) -> pd.DataFrame:
     def pairs(t: pa.Table) -> pd.DataFrame:
         return t.to_pandas().drop_duplicates()
 
-    return (
+    # two hash aggregates, both fully vectorized: the first emits one
+    # row per distinct (flag, suppkey) pair (map-side per-batch dedup
+    # keeps the shuffle small), the second counts pairs per flag —
+    # never one Python call per distinct key
+    distinct_pairs = (
         ds.map_batches(pairs, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_suppkey"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="_n"))
+    )
+    return (
+        distinct_pairs.groupby("l_returnflag")
         .aggregate(Count(alias_name="n_suppliers"))
         .to_pandas()
         .sort_values("l_returnflag")
@@ -721,7 +719,12 @@ def distinct_suppliers_per_flag(sf_dir: str) -> pd.DataFrame:
 
 
 def events_user_max_gap(sf_dir: str) -> pd.DataFrame:
-    """Largest inter-event gap (seconds) per user — ordered-log fold."""
+    """Largest inter-event gap (seconds) per user — ordered-log fold.
+
+    Gaps are computed in INTEGER microseconds and rounded to integer
+    milliseconds half-up before the single float division, exactly
+    mirroring the oracle SQL — pandas .round (half-even) vs DuckDB
+    ROUND (half-away) diverge on half-boundary values otherwise."""
     ds = _rp(sf_dir, "events", ["user_id", "ts", "event_id"])
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -731,14 +734,18 @@ def events_user_max_gap(sf_dir: str) -> pd.DataFrame:
 
     def gaps(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
-        d = g["ts"].diff().dt.total_seconds()
-        d[~g["user_id"].eq(g["user_id"].shift())] = np.nan
-        g = g.assign(gap=d)
+        # timedelta -> integer us independent of unit resolution
+        # (parquet timestamps land as datetime64[us] in pandas 2);
+        # float64 holds <2^53 us (≈285yr) exactly
+        d_us = (g["ts"].diff() // pd.Timedelta(microseconds=1)).astype("float64")
+        d_us[~g["user_id"].eq(g["user_id"].shift())] = np.nan
+        g = g.assign(gap_us=d_us)
         out = g.groupby("user_id", as_index=False).agg(
-            max_gap_sec=("gap", "max"), n_events=("gap", "size")
+            gap_us=("gap_us", "max"), n_events=("gap_us", "size")
         )
-        out["max_gap_sec"] = out["max_gap_sec"].fillna(0.0)
-        return out
+        max_us = out["gap_us"].fillna(0).astype("int64")
+        out["max_gap_sec"] = ((max_us + 500) // 1000).astype("float64") / 1000.0
+        return out[["user_id", "max_gap_sec", "n_events"]]
 
     return (
         ds.map_batches(bucket, batch_format="pandas")
@@ -747,7 +754,6 @@ def events_user_max_gap(sf_dir: str) -> pd.DataFrame:
         .to_pandas()[["user_id", "max_gap_sec", "n_events"]]
         .sort_values("user_id")
         .reset_index(drop=True)
-        .pipe(_round, {"max_gap_sec": 3})
     )
 
 
