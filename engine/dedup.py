@@ -159,44 +159,111 @@ def jaccard(a: set[int], b: set[int]) -> float:
     return len(a & b) / len(a | b)
 
 
-def verify_pairs(pairs_ds, docs_table, threshold: float = 0.8,
-                 k_shingle: int = 3):
-    """Verify candidate pairs with true n-gram Jaccard. The doc texts of
-    the SMALL candidate set are broadcast (ray.put) — at 100TB scale
-    this becomes a bucket join of pairs against the docs table keyed on
-    doc_id; the broadcast path is correct while |candidates| << |docs|."""
-    import ray
+def verify_pairs(pairs_ds, docs_ds, threshold: float = 0.8,
+                 k_shingle: int = 3, num_buckets: int = 32):
+    """Verify candidate pairs with true n-gram Jaccard — fully
+    distributed, no driver materialization and no whole-corpus
+    broadcast: explode each pair to two (doc_a, doc_b, doc_id) side
+    rows, bucket-join the sides against the docs table on doc_id to
+    attach texts (only candidate docs survive the inner join), then
+    regroup on the pair key and score each pair inside its bucket with
+    a per-bucket shingle cache. Texts shuffle at most twice, and only
+    for docs that are LSH candidates."""
+    from .joins import bucket_join
 
-    texts = dict(zip(docs_table["doc_id"].to_pylist(), docs_table["text"].to_pylist()))
-    ref = ray.put(texts)
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[["doc_a", "doc_b"]].copy()
+        a["doc_id"] = a["doc_a"]
+        b = df[["doc_a", "doc_b"]].copy()
+        b["doc_id"] = b["doc_b"]
+        return pd.concat([a, b], ignore_index=True)
 
-    def verify(df: pd.DataFrame, ref=ref) -> pd.DataFrame:
-        t = ray.get(ref)
-        sims = [
-            jaccard(_shingles(t[a], k_shingle), _shingles(t[b], k_shingle))
-            for a, b in zip(df["doc_a"], df["doc_b"])
+    sides = pairs_ds.map_batches(explode, batch_format="pandas")
+    with_text = bucket_join(sides, docs_ds, on="doc_id",
+                            num_buckets=num_buckets)
+
+    import pyarrow as pa
+
+    _pair_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("doc_id", pa.int64()), ("text", pa.string()),
+         ("pb", pa.int64())]
+    )
+
+    def add_pair_bucket(df: pd.DataFrame) -> pa.Table:
+        # emit a FIXED arrow schema even for empty frames: bucket_join's
+        # per-bucket merges yield schema-less empty pandas blocks that
+        # break the downstream hash-shuffle groupby (Ray 2.49)
+        if df.empty:
+            return _pair_schema.empty_table()
+        pb = pd.util.hash_array(
+            (df["doc_a"].astype("int64") * np.int64(1_000_003)
+             + df["doc_b"].astype("int64")).to_numpy()
+        ) % num_buckets
+        return pa.table(
+            {
+                "doc_a": pa.array(df["doc_a"].astype("int64"), pa.int64()),
+                "doc_b": pa.array(df["doc_b"].astype("int64"), pa.int64()),
+                "doc_id": pa.array(df["doc_id"].astype("int64"), pa.int64()),
+                "text": pa.array(df["text"].astype(str), pa.string()),
+                "pb": pa.array(pb.astype("int64"), pa.int64()),
+            }
+        )
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["doc_id"] == g["doc_a"]][["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_a"})
+        b = g[g["doc_id"] == g["doc_b"]][["doc_a", "doc_b", "text"]].rename(
+            columns={"text": "text_b"})
+        m = a.merge(b, on=["doc_a", "doc_b"]).drop_duplicates(["doc_a", "doc_b"])
+        cache: dict[int, set[int]] = {}
+
+        def sh(doc_id: int, text: str) -> set[int]:
+            s = cache.get(doc_id)
+            if s is None:
+                s = cache[doc_id] = _shingles(text, k_shingle)
+            return s
+
+        m["jaccard"] = [
+            jaccard(sh(ia, ta), sh(ib, tb))
+            for ia, ib, ta, tb in zip(m["doc_a"], m["doc_b"],
+                                      m["text_a"], m["text_b"])
         ]
-        df = df.copy()
-        df["jaccard"] = sims
-        return df[df["jaccard"] >= threshold]
+        out = m[m["jaccard"] >= threshold][["doc_a", "doc_b", "jaccard"]]
+        return out
 
-    return pairs_ds.map_batches(verify, batch_format="pandas")
+    return (
+        with_text.map_batches(add_pair_bucket, batch_format="pandas")
+        # hash-shuffle aggregators emit schema-less EMPTY partitions and
+        # map UDFs are skipped for empty blocks, so they reach the next
+        # groupby unrepaired and break its key sort (Ray 2.49); a
+        # non-shuffle repartition coalesces them away. Cost: one rewrite
+        # of the (candidate pairs x text) rows — bounded by the
+        # candidate set, not the corpus.
+        .repartition(num_buckets)
+        .groupby("pb")
+        .map_groups(score_bucket, batch_format="pandas")
+    )
 
 
-def minhash_dedup(docs_ds, docs_table, threshold: float = 0.8,
+def minhash_dedup(docs_ds, threshold: float = 0.8,
                   num_perm: int = 64, bands: int = 16, k_shingle: int = 3):
-    """Full near-dup flow: LSH candidates -> Jaccard verify -> connected
-    components -> (doc_id, cluster_id) rows; cluster root = min doc_id."""
+    """Full near-dup flow: LSH candidates -> Jaccard verify (bucket
+    join against docs, no driver read) -> connected components ->
+    (doc_id, cluster_id) rows; cluster root = min doc_id."""
     import pyarrow as pa
 
     from .canon import components_auto
 
     verified = verify_pairs(
         minhash_candidates(docs_ds, num_perm, bands, k_shingle),
-        docs_table, threshold, k_shingle,
+        docs_ds, threshold, k_shingle,
     )
 
     def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # score_bucket emits schema-less empties for dry buckets
+            return pd.DataFrame({"src": pd.Series([], dtype="string"),
+                                 "dst": pd.Series([], dtype="string")})
         return pd.DataFrame(
             {
                 "src": df["doc_a"].astype("int64").map("{:020d}".format).astype("string"),

@@ -41,43 +41,62 @@ def broadcast_join(ds, small: pa.Table | pd.DataFrame, on: list[str] | str,
 def bucket_join(left, right, on: list[str] | str, num_buckets: int = 32,
                 how: str = "inner"):
     """Explicit partitioned hash join: bucket both sides on the key
-    hash, tag provenance, union, groupby bucket, merge within group."""
+    hash, pack each batch's rows into ONE pickled row per bucket
+    (map-side partition packing — same trick as the flagship bucket
+    exchange in engine.pipeline), union the two uniform-schema packed
+    streams, co-group on the bucket and merge inside the group.
+
+    Packing, rather than union-with-None-padding, is load-bearing for
+    correctness: padding the missing side's columns with None upcasts
+    int64 keys to float64 in the concatenated frame, so a chained
+    bucket_join would hash "1234.0" vs "1234" into different buckets
+    and silently drop matches. Pickled sub-frames keep exact dtypes,
+    and the shuffle moves one row per (batch, bucket) instead of one
+    per record."""
+    import pickle
+
+    import numpy as np
+
     on_cols = [on] if isinstance(on, str) else list(on)
 
-    def add_bucket(side: str):
+    def pack(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty or on_cols[0] not in df.columns:
+                return pd.DataFrame({
+                    "__bucket": pd.Series([], dtype="int64"),
+                    "__side": pd.Series([], dtype="string"),
+                    "__blob": pd.Series([], dtype="object"),
+                })
             key = df[on_cols[0]].astype("string").fillna("")
             for c in on_cols[1:]:
                 key = key + "\x1f" + df[c].astype("string").fillna("")
-            df = df.copy()
-            df["__bucket"] = pd.util.hash_array(key.to_numpy(dtype=object)) % num_buckets
-            df["__side"] = side
-            return df
+            b = (pd.util.hash_array(key.to_numpy(dtype=object))
+                 % np.uint64(num_buckets)).astype("int64")
+            out = {"__bucket": [], "__side": [], "__blob": []}
+            for bk, sub in df.groupby(b, sort=False):
+                out["__bucket"].append(int(bk))
+                out["__side"].append(side)
+                out["__blob"].append(pickle.dumps(sub.reset_index(drop=True)))
+            return pd.DataFrame(out)
 
         return fn
 
     l_cols = list(left.schema().names)
     r_cols = list(right.schema().names)
+    out_cols = l_cols + [c for c in r_cols if c not in l_cols]
 
-    def pad(cols_missing):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            for c in cols_missing:
-                df[c] = None
-            return df
-
-        return fn
-
-    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
-    lds = left.map_batches(add_bucket("l"), batch_format="pandas").map_batches(
-        pad([c for c in all_cols if c not in l_cols]), batch_format="pandas"
-    )
-    rds = right.map_batches(add_bucket("r"), batch_format="pandas").map_batches(
-        pad([c for c in all_cols if c not in r_cols]), batch_format="pandas"
-    )
+    lds = left.map_batches(pack("l"), batch_format="pandas")
+    rds = right.map_batches(pack("r"), batch_format="pandas")
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g.loc[g["__side"] == "l", l_cols]
-        rg = g.loc[g["__side"] == "r", r_cols]
+        frames = {"l": [], "r": []}
+        for side, blob in zip(g["__side"], g["__blob"]):
+            frames[side].append(pickle.loads(blob))
+        if not frames["l"] or (how == "inner" and not frames["r"]):
+            return pd.DataFrame(columns=out_cols)
+        lg = pd.concat(frames["l"], ignore_index=True)
+        rg = (pd.concat(frames["r"], ignore_index=True)
+              if frames["r"] else pd.DataFrame(columns=r_cols))
         return lg.merge(rg, on=on_cols, how=how)
 
     return lds.union(rds).groupby("__bucket").map_groups(

@@ -490,14 +490,10 @@ def knn_lsh_query(sf_dir: str) -> pd.DataFrame:
 
 
 def minhash_dup_clusters(sf_dir: str) -> pd.DataFrame:
-    import pyarrow.parquet as pq
-
     from .dedup import minhash_dedup
 
-    docs_table = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id", "text"])
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    out = minhash_dedup(ds, docs_table, threshold=0.6)
+    out = minhash_dedup(ds, threshold=0.6)
     df = out.to_pandas()
     if df.empty:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),

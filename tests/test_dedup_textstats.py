@@ -38,7 +38,7 @@ def test_minhash_dedup_clusters(ray_session, dup_docs):
 
     from engine.dedup import minhash_dedup
 
-    out = minhash_dedup(rd.from_arrow(dup_docs), dup_docs, threshold=0.5)
+    out = minhash_dedup(rd.from_arrow(dup_docs), threshold=0.5)
     df = out.to_pandas()
     clusters = df.set_index("doc_id")["cluster_id"].to_dict()
     # 1,2,5 exact dups and 3 near dup -> one cluster rooted at 1
