@@ -84,22 +84,39 @@ def evaluate_datasets(gold_ds, pred_ds, keys: list[str]) -> tuple[float, float, 
     g = gold_ds.map_batches(digest("g"), batch_format="pyarrow")
     p = pred_ds.map_batches(digest("p"), batch_format="pyarrow")
 
-    def match(grp: pa.Table) -> pa.Table:
-        sides = set(grp["side"].to_pylist())
+    from ray.data.aggregate import Sum
+
+    def flag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_g = pc.cast(pc.equal(t["side"], "g"), pa.int64())
+        return pa.table({"k": t["k"], "g": is_g,
+                         "p": pc.subtract(pa.scalar(1, pa.int64()), is_g)})
+
+    # one vectorized hash aggregate per distinct digest (the occ index
+    # makes each digest appear at most once per side), then a per-batch
+    # partial fold + tiny global sum — no per-key Python call anywhere
+    per_key = (
+        g.union(p)
+        .map_batches(flag, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("g", alias_name="g"), Sum("p", alias_name="p"))
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        both = pc.and_(pc.greater(t["g"], 0), pc.greater(t["p"], 0))
         return pa.table(
             {
-                "correct": pa.array([int(len(sides) == 2)], pa.int64()),
-                "n_g": pa.array([int("g" in sides)], pa.int64()),
-                "n_p": pa.array([int("p" in sides)], pa.int64()),
+                "c": pa.array([pc.sum(pc.cast(both, pa.int64())).as_py() or 0],
+                              pa.int64()),
+                "ng": pa.array([pc.sum(t["g"]).as_py() or 0], pa.int64()),
+                "np": pa.array([pc.sum(t["p"]).as_py() or 0], pa.int64()),
             }
         )
 
-    stats = g.union(p).groupby("k").map_groups(match, batch_format="pyarrow")
-    import ray.data  # noqa: F401
-
-    from ray.data.aggregate import Sum
-
-    agg = stats.aggregate(Sum("correct", alias_name="c"),
-                          Sum("n_g", alias_name="g"),
-                          Sum("n_p", alias_name="p"))
+    agg = per_key.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("c", alias_name="c"), Sum("ng", alias_name="g"),
+        Sum("np", alias_name="p"))
     return prf(agg["g"], agg["p"], agg["c"])

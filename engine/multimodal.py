@@ -7,7 +7,7 @@ NotImplementedError unless ``fake=True``, in which case a deterministic
 fake decoder (seeded from the payload bytes) produces fixed-shape
 arrays. Everything Ray-side — schema, batch sizing for large binary
 payloads, actor signatures, output layout — is real and tested
-(tests/test_multimodal.py).
+(tests/test_dedup_textstats.py::test_multimodal_stub_plumbing).
 
 Scale notes: binary payloads make rows wide; stages here use small
 ``batch_size`` and ``batch_format="pyarrow"`` (binary columns don't

@@ -126,7 +126,10 @@ def knn_lsh(emb_ds, query_vecs: np.ndarray, dim: int, k: int = 10,
             s |= {int(b) ^ (1 << p) for p in range(n_planes)}
         probe_sets.append(s)
     wanted = set().union(*probe_sets) if probe_sets else set()
-    qref = ray.put((q, probe_sets))
+    # probe sets as sorted int64 arrays: the per-batch membership test
+    # is a vectorized np.isin, not a per-row Python set lookup
+    probe_arrays = [np.fromiter(sorted(s), np.int64, len(s)) for s in probe_sets]
+    qref = ray.put((q, probe_arrays))
 
     import pyarrow.compute as pc
 
@@ -147,7 +150,7 @@ def knn_lsh(emb_ds, query_vecs: np.ndarray, dim: int, k: int = 10,
         scores = qm @ m.T
         rows = {"query_idx": [], "vec_id": [], "score": []}
         for qi in range(qm.shape[0]):
-            mask = np.fromiter((int(b) in psets[qi] for b in bks), bool, len(bks))
+            mask = np.isin(bks, psets[qi])
             if not mask.any():
                 continue
             sc = scores[qi][mask]

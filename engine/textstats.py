@@ -81,15 +81,19 @@ class LangId:
 
 class Fingerprinter:
     """Document fingerprint: 64-bit FNV-1a of the whole text plus a
-    winnowing-style min rolling hash over character 8-grams (Karp-Rabin;
-    deterministic, no PYTHONHASHSEED dependence)."""
+    winnowing-style min rolling hash over character 8-grams
+    (Karp-Rabin mod 2^64 — odd base so B is invertible, which lets the
+    whole window sweep vectorize: W[i] = B^(i+K-1) * (S[i+K] - S[i])
+    with S the prefix sum of ord[j] * B^(-j), all in native uint64
+    wraparound. No per-character Python loop; deterministic, no
+    PYTHONHASHSEED dependence)."""
 
     K = 8
-    B = 257
-    MOD = (1 << 61) - 1
+    B = np.uint64(257)
 
     def __init__(self) -> None:
-        self.pow_k = pow(self.B, self.K - 1, self.MOD)
+        # B^(-1) mod 2^64 (B odd => invertible)
+        self.binv = np.uint64(pow(257, -1, 1 << 64))
 
     @staticmethod
     def fnv64(s: str) -> int:
@@ -99,17 +103,24 @@ class Fingerprinter:
         return h
 
     def min_rolling(self, s: str) -> int:
-        if len(s) < self.K:
-            return self.fnv64(s) % self.MOD
-        h = 0
-        for ch in s[: self.K]:
-            h = (h * self.B + ord(ch)) % self.MOD
-        best = h
-        for i in range(self.K, len(s)):
-            h = ((h - ord(s[i - self.K]) * self.pow_k) * self.B + ord(s[i])) % self.MOD
-            if h < best:
-                best = h
-        return best
+        n = len(s)
+        if n < self.K:
+            return self.fnv64(s) & ((1 << 63) - 1)
+        ords = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            # powB[i] = B^i, powInv[i] = B^-i  (mod 2^64, cumprod wraps)
+            powB = np.concatenate(
+                ([np.uint64(1)], np.cumprod(np.full(n - 1, self.B, np.uint64)))
+            )
+            powInv = np.concatenate(
+                ([np.uint64(1)], np.cumprod(np.full(n - 1, self.binv, np.uint64)))
+            )
+            d = ords * powInv                      # ord[j] * B^-j
+            S = np.concatenate(([np.uint64(0)], np.cumsum(d)))
+            win = S[self.K:] - S[:-self.K]         # windows j=i..i+K-1
+            W = powB[self.K - 1:] * win            # * B^(i+K-1)
+        # mask to 63 bits so the value stays int64-safe in pandas/parquet
+        return int(W.min() & np.uint64((1 << 63) - 1))
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         out = df[["doc_id"]].copy()

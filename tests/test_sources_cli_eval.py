@@ -77,3 +77,20 @@ def test_cli_synth_run_eval(ray_session, tmp_path):
     assert os.path.isdir(os.path.join(out, "triples"))
     assert main(["eval", "--gold", os.path.join(out, "triples"),
                  "--pred", os.path.join(out, "triples")]) == 0
+
+
+def test_distributed_components_long_chain(ray_session):
+    """Path graphs are the adversarial shape for min-label propagation
+    (MinHash candidate generation emits id CHAINS): a 500-hop path
+    exceeds any per-hop round budget, so this proves the pointer-jump
+    path converges in O(log diameter) BSP rounds with correct roots."""
+    import ray.data as rd
+
+    from engine.canon import components, local_components
+
+    edges = [("n%05d" % i, "n%05d" % (i + 1)) for i in range(500)]
+    edges += [("s%03d" % (i // 4), "t%04d" % i) for i in range(400)]
+    local = local_components(edges)
+    ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+    dist = {r["node"]: r["root"] for r in components(ds, num_partitions=8).take_all()}
+    assert dist == local
