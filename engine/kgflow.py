@@ -20,7 +20,8 @@ Scenario map (reference -> produced labels, all per turn):
 from __future__ import annotations
 
 from .ops.align import morph_to_token_align, soft_merge_bio_labels
-from .ops.lattice import build_sentence_lattice, md_select, prune_lattice
+from .ops.lattice import (build_sentence_lattice, dep_info, md_select,
+                          prune_lattice)
 from .ops.spans import mentions_with_occ
 from .ops.tokenize import tokenize
 from .scorers import RELATIONS, MorphScorer, TokenMultiScorer, TokenSingleScorer
@@ -42,7 +43,8 @@ class SentenceProcessor:
         self.multi = TokenMultiScorer()
         self.morph = MorphScorer()
 
-    def process(self, text: str, levels: tuple[str, ...] = SCENARIOS) -> dict:
+    def process(self, text: str, levels: tuple[str, ...] = SCENARIOS,
+                with_dep: bool = False) -> dict:
         """Per-sentence chain; ``levels`` prunes scenario work the caller
         doesn't consume (the KG track needs only morph_hybrid +
         multi_align — skipping token-single scoring and the un-pruned
@@ -83,8 +85,10 @@ class SentenceProcessor:
             if "morph_hybrid_tok" in lv else []
         )
 
+        rec_dep = dep_info(morphs) if with_dep else []
         return {
             "tokens": tokens,
+            "dep_info": rec_dep,  # [(id, head, deprel)] per MD morpheme (J9)
             "labels_single": labels_single,
             "labels_multi": labels_multi,
             "morph_forms": forms,

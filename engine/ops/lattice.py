@@ -45,6 +45,31 @@ class Edge:
     id2: int
     form: str
     token_id: int  # 1-based, as in the reference lattices
+    # morpheme attributes (reference schema.py:44-57 Morpheme fields;
+    # 8-col lattice TSV cols 4-7) — filled by the analyzer's
+    # deterministic rule (morph_attrs), defaults keep bare
+    # positional construction working
+    lemma: str = ""
+    upos: str = ""
+    xpos: str = ""
+    feats: str = "_"
+
+
+def morph_attrs(form: str, is_prefix: bool, definite: bool = False
+                ) -> tuple[str, str, str, str]:
+    """Deterministic (lemma, upos, xpos, feats) for one morpheme — the
+    analyzer-side analog of YAP's MA columns (the reference reads them
+    from the external analyzer's 8-col TSV, nemo.py:100-105):
+      prefixes   lemma=form, ADP/PREF, feats marks prefix status
+      cores      lemma = apostrophe-stripped lowercase, PROPN when
+                 capitalized else NOUN; Definite=Def when the token
+                 carried a mandatory-split (definite-article) prefix."""
+    if is_prefix:
+        return form, "ADP", "PREF", "Prefix=Yes"
+    lemma = form.replace("'", "").lower()
+    upos = "PROPN" if form[:1].isupper() else "NOUN"
+    feats = "Definite=Def" if definite else "_"
+    return lemma, upos, upos, feats
 
 
 def candidate_segmentations(token: str) -> list[list[str]]:
@@ -81,6 +106,7 @@ def build_sentence_lattice(tokens: list[str]) -> list[Edge]:
         n_intermediate = sum(len(c) - 1 for c in cands)
         start, end = node, node + n_intermediate + 1
         inter = start + 1
+        definite = token.split("'")[0] in MANDATORY_SPLIT
         for cand in cands:
             prev = start
             for i, form in enumerate(cand):
@@ -88,7 +114,11 @@ def build_sentence_lattice(tokens: list[str]) -> list[Edge]:
                 nxt = end if last else inter
                 if not last:
                     inter += 1
-                edges.append(Edge(prev, nxt, form, tid))
+                lemma, upos, xpos, feats = morph_attrs(
+                    form, is_prefix=not last, definite=definite and last)
+                edges.append(Edge(prev, nxt, form, tid,
+                                  lemma=lemma, upos=upos, xpos=xpos,
+                                  feats=feats))
                 prev = nxt
         node = end
     return edges
@@ -178,6 +208,36 @@ def md_select(edges: list[Edge]) -> list[tuple[str, int]]:
         paths = _paths(tok_edges)  # lex-sorted by forms
         best = max(paths, key=len)  # first (lex-smallest) among longest
         out.extend((e.form, tid) for e in best)
+    return out
+
+
+def dep_info(morphs: list[tuple[str, int]]) -> list[tuple[int, int, str]]:
+    """Deterministic dependency info per MD morpheme — the engine's J9
+    analog of api_main.py:338-351 (which zips the external parser's
+    (id, head, deprel) columns onto morphemes in MD order). Rule:
+    morpheme ids are 1-based MD order; each token's LAST morpheme is
+    its core; prefix morphemes attach to their token's core with
+    deprel 'case'; cores chain to the previous token's core with
+    deprel 'dep'; the first token's core is the root (head 0).
+    Returns [(id, head, deprel)] aligned with ``morphs``."""
+    # core id per token = id of the token's last morpheme
+    core_of: dict[int, int] = {}
+    for i, (_form, tid) in enumerate(morphs, start=1):
+        core_of[tid] = i
+    out: list[tuple[int, int, str]] = []
+    prev_core = 0
+    seen_tokens: list[int] = []
+    for i, (_form, tid) in enumerate(morphs, start=1):
+        if i == core_of[tid]:
+            if not seen_tokens or seen_tokens[-1] != tid:
+                seen_tokens.append(tid)
+            if len(seen_tokens) == 1:
+                out.append((i, 0, "root"))
+            else:
+                out.append((i, prev_core, "dep"))
+            prev_core = i
+        else:
+            out.append((i, core_of[tid], "case"))
     return out
 
 

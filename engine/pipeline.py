@@ -404,6 +404,47 @@ def triples_dataset(path: str, concurrency: int | None = None,
                                   small_threshold=small_threshold)
 
 
+class DepProcessor:
+    """Actor stage for the J9 verbosity-2 surface: transcript turns in,
+    per-turn morpheme rows with (id, head, deprel) out as a
+    list<struct> column (api_main.py:338-351 zip semantics via
+    ops/lattice.dep_info; keep_intermediate analog of config.py)."""
+
+    def __init__(self) -> None:
+        self.sp = SentenceProcessor()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .schema import DEP_TURNS
+
+        rows = {"conv_id": [], "turn_idx": [], "sent_id": [], "morphs": []}
+        for conv_id, turn_idx, text in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            rec = self.sp.process(text, levels=("morph_hybrid",),
+                                  with_dep=True)
+            morphs = [
+                {"id": mid, "form": form, "token_id": tid,
+                 "head": head, "deprel": rel}
+                for (form, tid), (mid, head, rel) in zip(
+                    zip(rec["morph_forms"], rec["morph_token_ids"]),
+                    rec["dep_info"])
+            ]
+            rows["conv_id"].append(conv_id)
+            rows["turn_idx"].append(turn_idx)
+            rows["sent_id"].append(stable_sent_id(conv_id, turn_idx))
+            rows["morphs"].append(morphs)
+        return pa.Table.from_pydict(rows, schema=DEP_TURNS)
+
+
+def dep_dataset(ds, concurrency: int = 4, batch_size: int = 2048):
+    """Transcripts Dataset -> DEP_TURNS rows (morpheme dependency info
+    per turn) on an actor pool."""
+    return ds.map_batches(DepProcessor, batch_format="pyarrow",
+                          concurrency=concurrency, batch_size=batch_size)
+
+
 # ---------------------------------------------------------------------------
 # resumable checkpointed run (north rule: per-partition lineage + metrics)
 # ---------------------------------------------------------------------------

@@ -781,6 +781,77 @@ def union_names_count(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_names": [u.count()], "n_distinct": [len(u.unique("name"))]})
 
 
+def kg_dep_morphs(sf_dir: str) -> pd.DataFrame:
+    """J9: morpheme dependency info (id, head, deprel) per turn for a
+    deterministic bounded slice (first 50 conversations), flattened to
+    one row per morpheme (rows-only check: the dep rule is an engine
+    heuristic, not SQL-expressible over raw text)."""
+    import pyarrow.compute as _pc
+
+    from .pipeline import dep_dataset
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(transcripts_path(sf_dir),
+                         columns=["conv_id", "turn_idx", "text"])
+    ds = ds.map_batches(
+        lambda t: t.filter(_pc.less(t["conv_id"], "c00000050")),
+        batch_format="pyarrow",
+    )
+    out = dep_dataset(ds).to_pandas()
+    flat = out.explode("morphs").dropna(subset=["morphs"])
+    m = pd.DataFrame(list(flat["morphs"]))
+    flat = flat.reset_index(drop=True)
+    res = pd.concat([flat[["conv_id", "turn_idx"]].reset_index(drop=True), m],
+                    axis=1)
+    return (
+        res[["conv_id", "turn_idx", "id", "form", "token_id", "head", "deprel"]]
+        .sort_values(["conv_id", "turn_idx", "id"])
+        .reset_index(drop=True)
+    )
+
+
+def ncrf_label_turns(sf_dir: str) -> pd.DataFrame:
+    """S5+S9+A3/A4 end-to-end: distributed vocab build over a bounded
+    transcript slice (first 20 conversations), then the numpy
+    linear-CRF scorer (engine.ncrf) decoding on an actor pool — every
+    replica rebuilds the identical model from the broadcast alphabet
+    JSON + seeds. Rows-only check (seeded synthetic weights)."""
+    import ray.data as rd
+
+    from .ncrf import NcrfStage
+    from .ops.tokenize import tokenize
+    from .vocab import build_vocab
+
+    ds = rd.read_parquet(transcripts_path(sf_dir),
+                         columns=["conv_id", "turn_idx", "text"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["conv_id"], "c00000020")),
+        batch_format="pyarrow",
+    )
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["tokens"] = [tokenize(t) for t in df["text"]]
+        return df[["conv_id", "turn_idx", "tokens"]]
+
+    with_tokens = ds.map_batches(tok, batch_format="pandas").materialize()
+    alpha = build_vocab(with_tokens, "tokens")
+    out = with_tokens.map_batches(
+        NcrfStage,
+        fn_constructor_kwargs={"alphabet_json": alpha.to_json(),
+                               "embedd_dim": 16, "seed": 42},
+        batch_format="pandas", concurrency=4, batch_size=512,
+    ).to_pandas()
+    out["labels"] = out["labels"].map(" ".join)
+    out["n_tokens"] = out["tokens"].map(len)
+    return (
+        out[["conv_id", "turn_idx", "n_tokens", "labels"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
 def kg_top_entities(sf_dir: str) -> pd.DataFrame:
     """O6: top-k head entities of the constructed graph (rows-only)."""
     from ray.data.aggregate import Count
@@ -807,6 +878,8 @@ QUERIES.update(
         "events_user_max_gap": events_user_max_gap,
         "docs_with_term": docs_with_term,
         "union_names_count": union_names_count,
+        "kg_dep_morphs": kg_dep_morphs,
+        "ncrf_label_turns": ncrf_label_turns,
         "kg_top_entities": kg_top_entities,
     }
 )

@@ -43,6 +43,28 @@ MORPH = pa.struct(
     ]
 )
 
+# morpheme + dependency info — the J9 verbosity-2 surface
+# (api_main.py:338-351 zips (id, head, deprel) onto morphemes; reference
+# schema.py:44-57 Morpheme carries them as optional fields)
+DEP_MORPH = pa.struct(
+    [
+        ("id", pa.int32()),
+        ("form", pa.string()),
+        ("token_id", pa.int32()),
+        ("head", pa.int32()),
+        ("deprel", pa.string()),
+    ]
+)
+
+DEP_TURNS = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("sent_id", pa.int64()),
+        ("morphs", pa.list_(DEP_MORPH)),
+    ]
+)
+
 MENTIONS = pa.schema(
     [
         ("sent_id", pa.int64()),

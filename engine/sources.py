@@ -66,11 +66,11 @@ def write_labeled_conll(sents, dummy_o: bool = False,
 
 def lattice_to_tsv(edges: list[Edge]) -> str:
     """Edge list -> 8-col TSV block (ID1 ID2 form lemma upos xpos feats
-    token_id), one sentence."""
+    token_id), one sentence. Attribute columns come from the edge's
+    analyzer-filled morph attrs (ops/lattice.morph_attrs), not faked."""
     lines = [
-        f"{e.id1}\t{e.id2}\t{e.form}\t{e.form}\t"
-        f"{'PREF' if e.form.islower() and len(e.form) <= 3 else 'X'}\t"
-        f"{'PREF' if e.form.islower() and len(e.form) <= 3 else 'X'}\t_\t{e.token_id}"
+        f"{e.id1}\t{e.id2}\t{e.form}\t{e.lemma or e.form}\t"
+        f"{e.upos or 'X'}\t{e.xpos or 'X'}\t{e.feats or '_'}\t{e.token_id}"
         for e in edges
     ]
     return "\n".join(lines) + "\n\n"
@@ -82,7 +82,8 @@ def tsv_to_lattice(block: str) -> list[Edge]:
         if not line:
             continue
         f = line.split("\t")
-        edges.append(Edge(int(f[0]), int(f[1]), f[2], int(f[7])))
+        edges.append(Edge(int(f[0]), int(f[1]), f[2], int(f[7]),
+                          lemma=f[3], upos=f[4], xpos=f[5], feats=f[6]))
     return edges
 
 

@@ -83,3 +83,56 @@ def test_full_sentence_asymmetries():
     assert rec["labels_morph"][1] == "S-ORG"
     assert rec["labels_tok_from_morph"][0] == "S-ORG"
     assert rec["labels_multi_align"][:2] == ["O", "O"]  # case-2 merge
+
+
+def test_morph_attrs_populated_and_tsv_roundtrip():
+    """Item 8: the LATTICE_EDGE schema's lemma/upos/xpos/feats are
+    analyzer-filled, and the 8-col TSV round-trip preserves them."""
+    from engine.ops.lattice import build_sentence_lattice
+    from engine.sources import lattice_to_tsv, tsv_to_lattice
+
+    lat = build_sentence_lattice(["be'Paris", "ha'Acme", "today"])
+    by_form = {e.form: e for e in lat}
+    # prefix morpheme
+    assert by_form["be"].upos == "ADP" and by_form["be"].feats == "Prefix=Yes"
+    assert by_form["be"].lemma == "be"
+    # core after a mandatory-split (definite) prefix
+    assert by_form["Acme"].feats == "Definite=Def"
+    assert by_form["Acme"].upos == "PROPN" and by_form["Acme"].lemma == "acme"
+    # plain lowercase token core
+    assert by_form["today"].upos == "NOUN" and by_form["today"].feats == "_"
+    # lemma is never faked to equal form for fused whole-token edges
+    assert by_form["be'Paris"].lemma == "beparis"
+
+    back = tsv_to_lattice(lattice_to_tsv(lat))
+    assert back == lat
+
+
+def test_dep_info_rule():
+    """Item 7 (J9): (id, head, deprel) zip onto MD morphemes —
+    prefixes attach to their token's core as 'case', cores chain,
+    first core is root (api_main.py:338-351 zip semantics)."""
+    from engine.ops.lattice import dep_info
+
+    morphs = [("be", 1), ("Paris", 1), ("met", 2), ("ha", 3), ("Acme", 3)]
+    got = dep_info(morphs)
+    assert got == [
+        (1, 2, "case"),   # be -> Paris
+        (2, 0, "root"),   # Paris is first core
+        (3, 2, "dep"),    # met -> Paris
+        (4, 5, "case"),   # ha -> Acme
+        (5, 3, "dep"),    # Acme -> met
+    ]
+    assert dep_info([]) == []
+
+
+def test_process_with_dep_keeps_mentions_identical():
+    from engine.kgflow import SentenceProcessor, kg_mentions
+
+    sp = SentenceProcessor()
+    text = "Alice Cohen works at be'Acme in Tel Aviv"
+    r0 = sp.process(text)
+    r1 = sp.process(text, with_dep=True)
+    assert kg_mentions(r0) == kg_mentions(r1)
+    assert len(r1["dep_info"]) == len(r1["morph_forms"])
+    assert r0["dep_info"] == []
