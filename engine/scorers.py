@@ -195,13 +195,31 @@ class TokenMultiScorer(GazetteerScorer):
     per predicted morpheme (README.md:72-75 format); prefix atoms are O,
     the core atom carries the span tag."""
 
-    def label(self, tokens: list[str]) -> list[str]:
-        cores = [token_core(t) for t in tokens]
-        core_tags = self.spans_to_biose(len(tokens), self.find_spans(cores))
+    @staticmethod
+    def _to_multi(tokens: list[str], core_tags: list[str]) -> list[str]:
         out = []
         for tok, tag in zip(tokens, core_tags):
             k = prefix_count(tok) - 1
             out.append("^".join(["O"] * k + [tag]))
+        return out
+
+    def label(self, tokens: list[str]) -> list[str]:
+        cores = [token_core(t) for t in tokens]
+        core_tags = self.spans_to_biose(len(tokens), self.find_spans(cores))
+        return self._to_multi(tokens, core_tags)
+
+    def label_nbest(self, tokens: list[str], n: int = 3
+                    ) -> list[tuple[list[str], float]]:
+        """Generic n-best analog (model/crf.py:268-418 is variant-
+        agnostic): same drop-rightmost-span ladder as token-single,
+        re-encoded into ^-multi labels."""
+        cores = [token_core(t) for t in tokens]
+        spans = self.find_spans(cores)
+        out = []
+        for k in range(min(n, len(spans) + 1)):
+            keep = spans[: len(spans) - k]
+            tags = self.spans_to_biose(len(tokens), keep)
+            out.append((self._to_multi(tokens, tags), round(0.9 ** k, 6)))
         return out
 
 
@@ -210,3 +228,15 @@ class MorphScorer(GazetteerScorer):
 
     def label(self, forms: list[str]) -> list[str]:
         return self.spans_to_biose(len(forms), self.find_spans(list(forms)))
+
+    def label_nbest(self, forms: list[str], n: int = 3
+                    ) -> list[tuple[list[str], float]]:
+        """n-best over morpheme forms, same deterministic ladder."""
+        spans = self.find_spans(list(forms))
+        out = []
+        for k in range(min(n, len(spans) + 1)):
+            keep = spans[: len(spans) - k]
+            out.append(
+                (self.spans_to_biose(len(forms), keep), round(0.9 ** k, 6))
+            )
+        return out

@@ -56,3 +56,19 @@ def test_evaluate_tables_multiset():
     )
     p, r, f = evaluate_tables(gold, pred2, cols)
     assert p == 1.0 and r == 2 / 3
+
+
+def test_truncate_mentions_o5():
+    """O5: islice-truncation semantics — a span cut by the boundary is
+    dropped (its E is never seen), whole spans inside the window keep
+    their occ indices."""
+    from engine.ops.spans import mentions_with_occ, truncate_mentions
+
+    toks = ["Alice", "met", "Tel", "Aviv", "crew"]
+    tags = ["S-PER", "O", "B-GPE", "E-GPE", "O"]
+    full = mentions_with_occ(toks, tags)
+    assert truncate_mentions(toks, tags, None) == full
+    assert truncate_mentions(toks, tags, 5) == full
+    # boundary cuts the GPE span: only the S-PER survives
+    assert truncate_mentions(toks, tags, 3) == [("Alice", "PER", 0, 1, 1)]
+    assert truncate_mentions(toks, tags, 0) == []
