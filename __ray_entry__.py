@@ -185,7 +185,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_names, COUNT(DISTINCT name) AS n_distinct
             FROM (SELECT n_name AS name FROM nation
                   UNION ALL SELECT r_name FROM region)""",
-        # rows-only (non-SQL-expressible): knn_lsh_query,
+        "events_rolling_burst": """
+            WITH w AS (
+                SELECT user_id,
+                       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN INTERVAL 4 HOUR PRECEDING
+                                     AND CURRENT ROW) AS c
+                FROM events)
+            SELECT user_id, CAST(MAX(c) AS BIGINT) AS peak,
+                   COUNT(*) AS n_events
+            FROM w GROUP BY 1 ORDER BY 1""",
+        "events_asof_purchase_click": """
+            WITH p AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts AS cts FROM events
+                       WHERE event_type = 'click')
+            SELECT p.user_id, COUNT(*) AS n_purchases,
+                   COUNT(c.cts) AS n_matched,
+                   CAST(COALESCE(SUM(date_diff('microsecond', c.cts, p.ts)),
+                                 0) AS BIGINT) AS sum_gap_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.cts
+            GROUP BY 1 ORDER BY 1""",
+        "events_range_pairs": """
+            SELECT p.user_id, COUNT(*) AS n_pairs
+            FROM events p JOIN events v ON v.user_id = p.user_id
+             AND p.event_type = 'purchase' AND v.event_type = 'view'
+             AND v.ts BETWEEN p.ts - INTERVAL 12 HOUR AND p.ts
+            GROUP BY 1 ORDER BY 1""",
+        "ngram_jaccard_pairs": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, len(w) - 2),
+                           i -> w[i] || chr(31) || w[i+1] || chr(31) || w[i+2]
+                       )) AS gr
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                      FROM documents))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.gr, b.gr)) AS BIGINT) AS n_inter,
+                   CAST(len(a.gr) + len(b.gr)
+                        - len(list_intersect(a.gr, b.gr)) AS BIGINT) AS n_union
+            FROM g a JOIN g b ON b.doc_id > a.doc_id
+            WHERE 2 * len(list_intersect(a.gr, b.gr))
+                  >= len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))
+            ORDER BY doc_a, doc_b""",
+        "embed_dup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS score
+            FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) >= 0.425
+            ORDER BY vec_a, vec_b""",
+        "token_count_docs": r"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(
+                       text, '[0-9A-Za-z_]+|[^ \t\r\n0-9A-Za-z_]'))) AS BIGINT)
+                       AS sum_tokens,
+                   CAST(MAX(len(regexp_extract_all(
+                       text, '[0-9A-Za-z_]+|[^ \t\r\n0-9A-Za-z_]'))) AS BIGINT)
+                       AS max_tokens
+            FROM documents GROUP BY 1 ORDER BY 1""",
+        # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # minhash_dup_clusters, simhash_docs, lang_id_docs,
         # fingerprint_docs, kg_triples, kg_mentions_all, kg_top_entities
     }

@@ -121,9 +121,18 @@ class MinHasher:
 
 
 def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
-                       k_shingle: int = 3, concurrency: int = 4):
+                       k_shingle: int = 3, concurrency: int = 4,
+                       pairs: str = "chain", clique_cap: int = 256):
     """documents -> candidate duplicate pairs (doc_a < doc_b) from LSH
-    band collisions (deduped)."""
+    band collisions (deduped).
+
+    pairs="chain" (default): consecutive ids per bucket — O(n) rows,
+    sufficient when downstream runs connected components (cluster
+    membership is chain-invariant). pairs="clique": all intra-bucket
+    pairs — required when the CONSUMER needs pairwise completeness
+    (e.g. exact near-dup pair listings); quadratic per bucket, so
+    buckets above clique_cap ids degrade to chains (skew guard — a
+    bucket that large is a degenerate band, not a dup cluster)."""
     banded = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
@@ -134,14 +143,19 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # one call per band_hash PARTITION: pandas-group by the actual
-        # (band, band_hash) key inside, emit id chains (not cliques:
-        # CC connects them), dedup pairs within the partition
+        # (band, band_hash) key inside, dedup pairs within the partition
         a, b = [], []
         for _, grp in g.groupby(["band", "band_hash"], sort=True):
             ids = sorted(grp["doc_id"].unique())
-            for i in range(len(ids) - 1):
-                a.append(ids[i])
-                b.append(ids[i + 1])
+            if pairs == "clique" and len(ids) <= clique_cap:
+                for i in range(len(ids) - 1):
+                    for j in range(i + 1, len(ids)):
+                        a.append(ids[i])
+                        b.append(ids[j])
+            else:
+                for i in range(len(ids) - 1):
+                    a.append(ids[i])
+                    b.append(ids[i + 1])
         out = pd.DataFrame(
             {"doc_a": pd.Series(a, dtype="int64"),
              "doc_b": pd.Series(b, dtype="int64")}
@@ -160,7 +174,8 @@ def jaccard(a: set[int], b: set[int]) -> float:
 
 
 def verify_pairs(pairs_ds, docs_ds, threshold: float = 0.8,
-                 k_shingle: int = 3, num_buckets: int = 32):
+                 k_shingle: int = 3, num_buckets: int = 32,
+                 emit_counts: bool = False):
     """Verify candidate pairs with true n-gram Jaccard — fully
     distributed, no driver materialization and no whole-corpus
     broadcast: explode each pair to two (doc_a, doc_b, doc_id) side
@@ -249,11 +264,24 @@ def verify_pairs(pairs_ds, docs_ds, threshold: float = 0.8,
                 s = cache[doc_id] = _shingles(text, k_shingle)
             return s
 
-        m["jaccard"] = [
-            jaccard(sh(ia, ta), sh(ib, tb))
-            for ia, ib, ta, tb in zip(m["doc_a"], m["doc_b"],
-                                      m["text_a"], m["text_b"])
-        ]
+        inter, union = [], []
+        for ia, ib, ta, tb in zip(m["doc_a"], m["doc_b"],
+                                  m["text_a"], m["text_b"]):
+            sa, sb = sh(ia, ta), sh(ib, tb)
+            ni = len(sa & sb)
+            inter.append(ni)
+            union.append(len(sa) + len(sb) - ni)
+        m["n_inter"] = pd.Series(inter, index=m.index, dtype="int64")
+        m["n_union"] = pd.Series(union, index=m.index, dtype="int64")
+        if emit_counts:
+            # integer-exact threshold: ni/nu >= t  <=>  ni*den >= num*nu
+            # (threshold quantized to 1e-6 resolution on both sides)
+            num = int(round(threshold * 1_000_000))
+            keep = m["n_inter"] * 1_000_000 >= num * m["n_union"]
+            return m[keep][["doc_a", "doc_b", "n_inter", "n_union"]]
+        m["jaccard"] = np.where(
+            m["n_union"] > 0, m["n_inter"] / m["n_union"], 1.0
+        )
         out = m[m["jaccard"] >= threshold][["doc_a", "doc_b", "jaccard"]]
         return out
 
@@ -345,3 +373,24 @@ class SimHasher:
 
 def simhash_dataset(ds, concurrency: int = 4):
     return ds.map_batches(SimHasher, batch_format="pandas", concurrency=concurrency)
+
+
+def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k_shingle: int = 3,
+                        num_perm: int = 64, bands: int = 16):
+    """n-gram Jaccard near-dup pairs with integer-exact scores: LSH
+    candidate generation (banded minhash — candidates are found, never
+    all pairs scored) followed by exact k-gram set intersection on the
+    candidate pairs only. Emits (doc_a, doc_b, n_inter, n_union) so the
+    threshold test and any downstream comparison are pure integer math
+    (no float-rounding divergence).
+
+    Recall note: LSH candidates are probabilistic in general; at the
+    banding defaults (16 bands x 4 rows) a true pair at jaccard j is
+    missed with probability (1 - j^4)^16 — < 1e-7 for j >= 0.9, so for
+    crisp near-dup corpora the output equals the exact all-pairs
+    answer. For fuzzier thresholds raise `bands`."""
+    return verify_pairs(
+        minhash_candidates(docs_ds, num_perm, bands, k_shingle,
+                           pairs="clique"),
+        docs_ds, threshold, k_shingle, emit_counts=True,
+    )

@@ -143,6 +143,25 @@ def constrained_transitions(tags: list[str], bonus: float = 0.0,
     return T
 
 
+def context_features(emb: np.ndarray, ids: np.ndarray,
+                     mask: np.ndarray) -> np.ndarray:
+    """Mean-pooled +-1 context window of embedding rows — the SHARED
+    feature transform of inference (SeededLinearEmissions) and training
+    (engine.train): the trainer's gradients are exact w.r.t. these
+    features. Returns (B, S, d)."""
+    x = emb[ids]                                        # (B, S, d)
+    left = np.concatenate([x[:, :1], x[:, :-1]], axis=1)
+    right = np.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    # replicate at each sequence's TRUE end so a padded batch decode
+    # equals the unpadded single-sequence decode (the padding row is
+    # all zeros and must not leak into the last token's window)
+    lengths = mask.sum(axis=1).astype(np.int64)
+    rows = np.arange(x.shape[0])
+    last = np.maximum(lengths - 1, 0)
+    right[rows, last] = x[rows, last]
+    return (left + x + right) / 3.0
+
+
 class SeededLinearEmissions:
     """Deterministic emission model: mean-pooled +-1 context window of
     embedding rows -> seeded linear projection to tag scores. This is
@@ -157,17 +176,7 @@ class SeededLinearEmissions:
         self.b = rng.standard_normal(n_tags) * 0.01
 
     def __call__(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
-        x = self.emb[ids]                               # (B, S, d)
-        left = np.concatenate([x[:, :1], x[:, :-1]], axis=1)
-        right = np.concatenate([x[:, 1:], x[:, -1:]], axis=1)
-        # replicate at each sequence's TRUE end so a padded batch decode
-        # equals the unpadded single-sequence decode (the padding row is
-        # all zeros and must not leak into the last token's window)
-        lengths = mask.sum(axis=1).astype(np.int64)
-        rows = np.arange(x.shape[0])
-        last = np.maximum(lengths - 1, 0)
-        right[rows, last] = x[rows, last]
-        ctx = (left + x + right) / 3.0
+        ctx = context_features(self.emb, ids, mask)
         feats = ctx @ self.W + self.b                   # (B, S, n_tags)
         return feats * mask[:, :, None]
 

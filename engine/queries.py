@@ -903,3 +903,151 @@ QUERIES.update(
         "kg_top_entities": kg_top_entities,
     }
 )
+
+
+# --- temporal window operators (engine/windows.py) -----------------------
+def events_rolling_burst(sf_dir: str) -> pd.DataFrame:
+    """Peak trailing-4-hour event count per user (RANGE-frame
+    rolling window: equal-ts peers included, like SQL RANGE)."""
+    from .windows import rolling_count
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+    out = rolling_count(ds, key="user_id", ts="ts",
+                        window=pd.Timedelta(hours=4)).to_pandas()
+    out["peak"] = out["peak"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_asof_purchase_click(sf_dir: str) -> pd.DataFrame:
+    """Each purchase as-of joined (backward) to the user's most recent
+    click; per-user totals with the gap kept in integer microseconds so
+    the comparison is float-free."""
+    from .windows import asof_join
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "event_type"])
+    purchases = ds.filter(expr="event_type == 'purchase'")
+    clicks = ds.filter(expr="event_type == 'click'")
+    joined = asof_join(purchases, clicks, key="user_id", ts="ts",
+                       right_ts_out="click_ts").to_pandas()
+    # NaT-safe integer microseconds: the Timedelta division yields
+    # integer-valued float64 (exact below 2**53 us ~ 285 years)
+    joined["gap_us"] = (
+        ((joined["ts"] - joined["click_ts"]) / pd.Timedelta(microseconds=1))
+        .fillna(0)
+        .astype("int64")
+    )
+    out = joined.groupby("user_id", as_index=False).agg(
+        n_purchases=("ts", "size"),
+        n_matched=("click_ts", "count"),
+        sum_gap_us=("gap_us", "sum"),
+    )
+    for c in ["n_purchases", "n_matched", "sum_gap_us"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_range_pairs(sf_dir: str) -> pd.DataFrame:
+    """Interval band join: per user, count of (purchase, view) pairs
+    where the view happened within the 12 hours up to the purchase."""
+    from .windows import range_join_count
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "event_type"])
+    purchases = ds.filter(expr="event_type == 'purchase'")
+    views = ds.filter(expr="event_type == 'view'")
+    out = range_join_count(purchases, views, key="user_id", ts="ts",
+                           window=pd.Timedelta(hours=12)).to_pandas()
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+# --- dedup / similarity extensions ---------------------------------------
+def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact 3-gram Jaccard >= 0.5 near-dup pairs (integer counts; LSH
+    candidate generation, exact verification)."""
+    from .dedup import ngram_jaccard_pairs as pairs_op
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    df = pairs_op(docs, threshold=0.5, k_shingle=3).to_pandas()
+    if df.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ["doc_a", "doc_b", "n_inter", "n_union"]})
+    df = df.drop_duplicates(["doc_a", "doc_b"])
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def embed_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.425 sits in a
+    5e-3 score gap of the corpus, so fp noise cannot flip membership)."""
+    from .simsearch import cosine_pairs
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = cosine_pairs(ds, threshold=0.425).to_pandas()
+    df = _round(df, {"score": 6})
+    df["vec_a"] = df["vec_a"].astype("int64")
+    df["vec_b"] = df["vec_b"].astype("int64")
+    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def token_count_docs(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish regex token counting per language (word runs + single
+    non-word marks — the standard pre-tokenizer split), vectorized via
+    pandas str.count; ASCII classes on both sides for RE2/re parity."""
+    pat = r"[0-9A-Za-z_]+|[^ \t\r\n0-9A-Za-z_]"
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["lang"]].copy()
+        out["n_tokens"] = df["text"].str.count(pat).astype("int64")
+        return out
+
+    ds = _rp(sf_dir, "documents", ["lang", "text"])
+    out = (
+        ds.map_batches(counts, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(
+            lambda g: g.groupby("lang", as_index=False).agg(
+                n_docs=("n_tokens", "size"),
+                sum_tokens=("n_tokens", "sum"),
+                max_tokens=("n_tokens", "max"),
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    for c in ["n_docs", "sum_tokens", "max_tokens"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def knn_ivf_query(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN variant (rows-only: recall < 1 by construction; recall
+    floor vs brute force is asserted in tests/test_windows_simsearch)."""
+    import pyarrow.parquet as pq
+
+    from .simsearch import knn_ivf
+
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    take = qt.filter(pc.less(qt["vec_id"], 3)).sort_by("vec_id")
+    qm = np.array(take["embedding"].to_pylist(), dtype=np.float64)
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return (
+        knn_ivf(ds, qm, dim=qm.shape[1], k=10, n_centroids=16, nprobe=4)
+        .sort_values(["query_idx", "score", "vec_id"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
+QUERIES.update(
+    {
+        "events_rolling_burst": events_rolling_burst,
+        "events_asof_purchase_click": events_asof_purchase_click,
+        "events_range_pairs": events_range_pairs,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "embed_dup_pairs": embed_dup_pairs,
+        "token_count_docs": token_count_docs,
+        "knn_ivf_query": knn_ivf_query,
+    }
+)

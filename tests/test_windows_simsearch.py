@@ -1,0 +1,176 @@
+"""Unit tests for the temporal window operators (engine/windows.py) and
+the similarity-search extensions (cosine_pairs / kmeans / knn_ivf),
+checked against in-process brute-force references."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+def _events(n_users=7, per_user=40, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for u in range(n_users):
+        t = base
+        for i in range(per_user):
+            # occasional zero gap to exercise RANGE peer semantics
+            step = int(rng.integers(0, 90)) * 60
+            t = t + pd.Timedelta(seconds=step)
+            rows.append({"user_id": u, "ts": t,
+                         "event_type": ["a", "b"][int(rng.integers(0, 2))]})
+    return pd.DataFrame(rows)
+
+
+def test_rolling_count_matches_bruteforce(ray_session):
+    from engine.windows import rolling_count
+
+    df = _events()
+    w = pd.Timedelta(hours=1)
+    got = (
+        rolling_count(rd.from_pandas(df[["user_id", "ts"]]), "user_id", "ts",
+                      w, num_buckets=4)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    # brute force: RANGE frame = [ts - w, last peer of ts]
+    exp_rows = []
+    for u, g in df.groupby("user_id"):
+        ts = g["ts"].sort_values().to_numpy()
+        cnt = [
+            int(((ts >= t - w.to_timedelta64()) & (ts <= t)).sum()) for t in ts
+        ]
+        exp_rows.append({"user_id": u, "peak": max(cnt), "n_events": len(ts)})
+    exp = pd.DataFrame(exp_rows)
+    pd.testing.assert_frame_equal(
+        got.astype({"peak": "int64", "n_events": "int64"}), exp,
+        check_dtype=False,
+    )
+
+
+def test_asof_join_matches_merge_asof(ray_session):
+    from engine.windows import asof_join
+
+    df = _events()
+    left = df[df["event_type"] == "a"][["user_id", "ts"]]
+    right = df[df["event_type"] == "b"][["user_id", "ts"]]
+    got = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                  key="user_id", ts="ts", right_ts_out="m", num_buckets=4)
+        .to_pandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts"), right.rename(columns={"ts": "m"}).sort_values("m"),
+        left_on="ts", right_on="m", by="user_id", direction="backward",
+    ).sort_values(["user_id", "ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_range_join_count_matches_bruteforce(ray_session):
+    from engine.windows import range_join_count
+
+    df = _events()
+    w = pd.Timedelta(hours=2)
+    left = df[df["event_type"] == "a"][["user_id", "ts"]]
+    right = df[df["event_type"] == "b"][["user_id", "ts"]]
+    got = (
+        range_join_count(rd.from_pandas(left), rd.from_pandas(right),
+                         key="user_id", ts="ts", window=w, num_buckets=4)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    m = left.merge(right, on="user_id", suffixes=("_l", "_r"))
+    m = m[(m["ts_r"] >= m["ts_l"] - w) & (m["ts_r"] <= m["ts_l"])]
+    exp = (
+        m.groupby("user_id", as_index=False)
+        .size()
+        .rename(columns={"size": "n_pairs"})
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def _vecs(n=200, d=16, seed=11):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d))
+    # plant near-dup pairs
+    for i in range(0, 20, 2):
+        m[i + 1] = m[i] + 0.01 * rng.standard_normal(d)
+    ids = np.arange(n, dtype=np.int64)
+    return pd.DataFrame({"vec_id": ids, "embedding": [list(map(float, r)) for r in m]}), m
+
+
+def test_cosine_pairs_exact(ray_session):
+    from engine.simsearch import cosine_pairs
+
+    df, m = _vecs()
+    got = (
+        cosine_pairs(rd.from_pandas(df), threshold=0.9)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    iu = np.triu_indices(len(m), k=1)
+    mask = sims[iu] >= 0.9
+    exp = set(zip(iu[0][mask], iu[1][mask]))
+    assert set(zip(got["vec_a"], got["vec_b"])) == exp
+    assert len(exp) >= 10  # the planted pairs exist
+
+
+def test_kmeans_deterministic_and_assigns(ray_session):
+    from engine.simsearch import kmeans
+
+    df, m = _vecs(n=120, d=8)
+    ds = rd.from_pandas(df)
+    c1 = kmeans(ds, n_centroids=6, dim=8, iters=3)
+    c2 = kmeans(ds, n_centroids=6, dim=8, iters=3)
+    np.testing.assert_allclose(c1, c2)  # deterministic across runs
+    assert c1.shape == (6, 8)
+    norms = np.linalg.norm(c1, axis=1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-9)
+
+
+def test_knn_ivf_recall_floor(ray_session):
+    from engine.simsearch import knn_bruteforce, knn_ivf
+
+    df, m = _vecs(n=300, d=16)
+    ds = rd.from_pandas(df)
+    q = m[:3]
+    exact = knn_bruteforce(ds, q, k=10, dtype=np.float64)
+    approx = knn_ivf(ds, q, dim=16, k=10, n_centroids=8, nprobe=4)
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact["query_idx"] == qi]["vec_id"])
+        a = set(approx[approx["query_idx"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_ngram_jaccard_clique_completeness(ray_session):
+    from engine.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [base, base, base + " extra", "completely different words here entirely now ok yes"],
+        }
+    )
+    got = (
+        ngram_jaccard_pairs(rd.from_pandas(docs), threshold=0.5)
+        .to_pandas()
+        .drop_duplicates(["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    # all three pairwise combinations of {0,1,2} must be present
+    # (clique candidates — a chain would drop one of them)
+    assert {(0, 1), (0, 2), (1, 2)} <= set(zip(got["doc_a"], got["doc_b"]))
+    exact = got[(got["doc_a"] == 0) & (got["doc_b"] == 1)]
+    assert (exact["n_inter"] == exact["n_union"]).all()
