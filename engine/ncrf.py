@@ -162,6 +162,38 @@ def context_features(emb: np.ndarray, ids: np.ndarray,
     return (left + x + right) / 3.0
 
 
+def concat_context_features(emb: np.ndarray, ids: np.ndarray,
+                            mask: np.ndarray) -> np.ndarray:
+    """[left | center | right] CONCATENATED window of embedding rows,
+    (B, S, 3d) — the trainable feature map (engine.train): unlike the
+    mean-pooled variant, concatenation keeps which-position identity, so
+    a linear layer over it can express any window->tag lookup (the
+    gazetteer task is exactly that). Same end-replication rule as
+    context_features."""
+    x = emb[ids]
+    left = np.concatenate([x[:, :1], x[:, :-1]], axis=1)
+    right = np.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    lengths = mask.sum(axis=1).astype(np.int64)
+    rows = np.arange(x.shape[0])
+    last = np.maximum(lengths - 1, 0)
+    right[rows, last] = x[rows, last]
+    return np.concatenate([left, x, right], axis=2)
+
+
+class LinearConcatEmissions:
+    """Emission model over concat_context_features — the serving slot
+    for weights learned by engine.train.train_crf (W: (3d, n_tags))."""
+
+    def __init__(self, emb: np.ndarray, W: np.ndarray, b: np.ndarray) -> None:
+        self.emb = emb
+        self.W = W
+        self.b = b
+
+    def __call__(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        ctx = concat_context_features(self.emb, ids, mask)
+        return (ctx @ self.W + self.b) * mask[:, :, None]
+
+
 class SeededLinearEmissions:
     """Deterministic emission model: mean-pooled +-1 context window of
     embedding rows -> seeded linear projection to tag scores. This is

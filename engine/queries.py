@@ -1051,3 +1051,45 @@ QUERIES.update(
         "knn_ivf_query": knn_ivf_query,
     }
 )
+
+
+def ncrf_train_eval(sf_dir: str) -> pd.DataFrame:
+    """A8 end-to-end: distributed CRF-NLL training (engine/train.py)
+    on gazetteer-labeled turns of a bounded transcript slice; returns
+    the per-epoch convergence history (rows-only: accuracy must climb,
+    which tests/test_train.py asserts; the driver checks rows+schema)."""
+    import ray.data as rd
+
+    from .ops.tokenize import tokenize
+    from .scorers import TokenSingleScorer
+    from .train import train_crf
+    from .vocab import build_vocab
+
+    ds = rd.read_parquet(transcripts_path(sf_dir),
+                         columns=["conv_id", "turn_idx", "text"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["conv_id"], "c00000020")),
+        batch_format="pyarrow",
+    )
+
+    class LabelStage:
+        """Gold labels from the deterministic gazetteer, built once
+        per actor."""
+
+        def __init__(self) -> None:
+            self.sc = TokenSingleScorer()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["tokens"] = [tokenize(t) for t in df["text"]]
+            df["gold"] = [self.sc.label(tk) for tk in df["tokens"]]
+            return df[["tokens", "gold"]]
+
+    labeled = ds.map_batches(LabelStage, batch_format="pandas",
+                             concurrency=2).materialize()
+    alpha = build_vocab(labeled, "tokens")
+    _, hist = train_crf(labeled, alpha.to_json(), epochs=4, embedd_dim=32)
+    return hist
+
+
+QUERIES["ncrf_train_eval"] = ncrf_train_eval
