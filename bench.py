@@ -66,6 +66,8 @@ def run_bench() -> dict:
         "q1_pricing_summary", "q5_region_revenue", "events_sessions",
         "doc_stats_by_lang", "dedup_exact_docs", "knn_cosine",
         "minhash_dup_clusters", "lang_id_docs", "simhash_docs",
+        "events_asof_purchase_click", "ngram_jaccard_pairs",
+        "token_count_docs",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

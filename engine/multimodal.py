@@ -7,7 +7,8 @@ NotImplementedError unless ``fake=True``, in which case a deterministic
 fake decoder (seeded from the payload bytes) produces fixed-shape
 arrays. Everything Ray-side — schema, batch sizing for large binary
 payloads, actor signatures, output layout — is real and tested
-(tests/test_dedup_textstats.py::test_multimodal_stub_plumbing).
+(tests/test_multimodal.py and
+tests/test_dedup_textstats.py::test_multimodal_stub_plumbing).
 
 Scale notes: binary payloads make rows wide; stages here use small
 ``batch_size`` and ``batch_format="pyarrow"`` (binary columns don't
@@ -132,5 +133,52 @@ def resample_audio(ds, fake: bool = True, concurrency: int = 2,
                    batch_size: int = 32):
     return ds.map_batches(
         ResampleAudio, fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+class SampleFrames:
+    """Actor stage: video payload -> every-k-th frame features (stub
+    frame decode; real impl would use pyav/ffmpeg in __call__). Output
+    carries a list<float> per-frame feature column — the layout a
+    downstream embedding/inference stage consumes."""
+
+    def __init__(self, every_k: int = 4, fake: bool = False) -> None:
+        self.every_k = every_k
+        self.fake = fake
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "video decode requires pyav/ffmpeg (not in this "
+                "environment); construct with fake=True for the stub"
+            )
+        n_frames_out, feats = [], []
+        for payload, w, h in zip(t["payload"].to_pylist(),
+                                 t["width"].to_pylist(),
+                                 t["height"].to_pylist()):
+            n_frames = max(1, len(payload) // 64)
+            sampled = range(0, n_frames, self.every_k)
+            fr = [
+                float(_fake_pixels(payload[i:] + payload[:i],
+                                   max(w, 1), max(h, 1)).mean())
+                for i in sampled
+            ]
+            n_frames_out.append(len(fr))
+            feats.append(fr)
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "n_frames": pa.array(n_frames_out, pa.int64()),
+                "frame_means": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )
+
+
+def sample_frames(ds, every_k: int = 4, fake: bool = True,
+                  concurrency: int = 2, batch_size: int = 16):
+    """batch_size smaller still: video rows are the widest payloads."""
+    return ds.map_batches(
+        SampleFrames, fn_constructor_kwargs={"every_k": every_k, "fake": fake},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
     )

@@ -1093,3 +1093,41 @@ def ncrf_train_eval(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["ncrf_train_eval"] = ncrf_train_eval
+
+
+def multimodal_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal actor-pool plumbing end-to-end (rows-only): a
+    deterministic synthetic media table (binary payload column, typed
+    metadata) routed by kind through the three stub-decode stages —
+    image decode, audio resample, video frame-sample — then aggregated
+    per kind. Real codecs drop into the same actors (fake=False path
+    raises NotImplementedError by design; libs absent here)."""
+    import ray.data as rd
+
+    from .multimodal import (decode_images, resample_audio, sample_frames,
+                             synth_media_table)
+
+    n = 300 if "0.1" in os.path.basename(os.path.normpath(sf_dir)) else 120
+    media = rd.from_arrow(synth_media_table(n))
+    img = decode_images(
+        media.filter(expr="kind == 'image'"), fake=True).to_pandas()
+    aud = resample_audio(
+        media.filter(expr="kind == 'audio'"), fake=True).to_pandas()
+    vid = sample_frames(
+        media.filter(expr="kind == 'video'"), fake=True).to_pandas()
+    out = pd.DataFrame(
+        {
+            "kind": ["audio", "image", "video"],
+            "n_items": [len(aud), len(img), len(vid)],
+            "feat_mean": [
+                round(float(aud["rms_energy"].mean()), 6),
+                round(float(img["pix_mean"].mean()), 6),
+                round(float(vid["frame_means"].map(
+                    lambda v: float(np.mean(v))).mean()), 6),
+            ],
+        }
+    )
+    return out
+
+
+QUERIES["multimodal_features"] = multimodal_features
