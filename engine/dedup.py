@@ -25,19 +25,38 @@ import pandas as pd
 _MERSENNE = (1 << 61) - 1
 
 
-def _shingles(text: str, k: int = 3) -> set[int]:
-    """k-word shingle set, FNV-hashed to 64-bit ints."""
+_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9],
+                dtype=np.uint64)  # odd golden-ratio constants, one per slot
+
+
+def _shingles(text: str, k: int = 3,
+              _cache: dict[str, int] | None = None) -> np.ndarray:
+    """k-word shingle set as a SORTED UNIQUE uint64 array.
+
+    Vectorized: each distinct TOKEN is FNV-hashed once (tokens repeat
+    Zipf-heavily, so the per-actor/call cache almost always hits),
+    then consecutive token hashes combine position-wise with odd
+    multiplier constants in native uint64 wraparound — no per-shingle
+    string joins or per-character Python loops (the round-1 profile
+    showed those dominating the minhash stage). Distinctness matches
+    distinct k-gram strings up to ~2^-64 collision odds, which is the
+    same contract the string-FNV version had."""
+    from .textstats import Fingerprinter
+
+    fnv = Fingerprinter.fnv64
+    cache = _cache if _cache is not None else {}
     toks = text.lower().split()
     if len(toks) < k:
         toks = toks + [""] * (k - len(toks))
-    out = set()
-    for i in range(max(1, len(toks) - k + 1)):
-        s = "\x1f".join(toks[i : i + k])
-        h = 0xCBF29CE484222325
-        for b in s.encode("utf-8"):
-            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        out.add(h)
-    return out
+    hs = np.fromiter(
+        (cache.get(t) or cache.setdefault(t, fnv(t)) for t in toks),
+        dtype=np.uint64, count=len(toks),
+    )
+    with np.errstate(over="ignore"):
+        acc = hs[: len(hs) - k + 1] * _MIX[0]
+        for j in range(1, k):
+            acc = acc ^ (hs[j : len(hs) - k + 1 + j] * _MIX[j % len(_MIX)])
+    return np.unique(acc)
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -89,9 +108,10 @@ class MinHasher:
         self.bands = bands
         self.rows = num_perm // bands
         self.k = k_shingle
+        self._tok_cache: dict[str, int] = {}  # per-actor token-hash cache
 
-    def signature(self, sh: set[int]) -> np.ndarray:
-        x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+    def signature(self, sh: np.ndarray) -> np.ndarray:
+        x = np.asarray(sh, dtype=np.uint64)
         with np.errstate(over="ignore"):
             vals = self.a[:, None] * x[None, :] + self.b[:, None]
         return np.min(vals, axis=1)
@@ -110,7 +130,7 @@ class MinHasher:
         grouping is a bounded-fan-out shuffle, not per-key groups."""
         bands, hashes, ids = [], [], []
         for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = self.signature(_shingles(text, self.k))
+            sig = self.signature(_shingles(text, self.k, self._tok_cache))
             for b, h in enumerate(self.band_hashes(sig)):
                 bands.append(b)
                 hashes.append(np.int64(h))
@@ -167,10 +187,12 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
     return banded.groupby("part").map_groups(bucket_pairs, batch_format="pandas")
 
 
-def jaccard(a: set[int], b: set[int]) -> float:
-    if not a and not b:
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Jaccard of two sorted-unique hash arrays."""
+    if not len(a) and not len(b):
         return 1.0
-    return len(a & b) / len(a | b)
+    ni = len(np.intersect1d(a, b, assume_unique=True))
+    return ni / (len(a) + len(b) - ni)
 
 
 def verify_pairs(pairs_ds, docs_ds, threshold: float = 0.8,
@@ -256,19 +278,20 @@ def verify_pairs(pairs_ds, docs_ds, threshold: float = 0.8,
         b = g[g["doc_id"] == g["doc_b"]][["doc_a", "doc_b", "text"]].rename(
             columns={"text": "text_b"})
         m = a.merge(b, on=["doc_a", "doc_b"]).drop_duplicates(["doc_a", "doc_b"])
-        cache: dict[int, set[int]] = {}
+        cache: dict[int, np.ndarray] = {}
+        tok_cache: dict[str, int] = {}
 
-        def sh(doc_id: int, text: str) -> set[int]:
+        def sh(doc_id: int, text: str) -> np.ndarray:
             s = cache.get(doc_id)
             if s is None:
-                s = cache[doc_id] = _shingles(text, k_shingle)
+                s = cache[doc_id] = _shingles(text, k_shingle, tok_cache)
             return s
 
         inter, union = [], []
         for ia, ib, ta, tb in zip(m["doc_a"], m["doc_b"],
                                   m["text_a"], m["text_b"]):
             sa, sb = sh(ia, ta), sh(ib, tb)
-            ni = len(sa & sb)
+            ni = len(np.intersect1d(sa, sb, assume_unique=True))
             inter.append(ni)
             union.append(len(sa) + len(sb) - ni)
         m["n_inter"] = pd.Series(inter, index=m.index, dtype="int64")
