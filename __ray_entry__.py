@@ -249,6 +249,20 @@ def oracle_sql() -> dict[str, str]:
                        text, '[0-9A-Za-z_]+|[^ \t\r\n0-9A-Za-z_]'))) AS BIGINT)
                        AS max_tokens
             FROM documents GROUP BY 1 ORDER BY 1""",
+        "events_value_quantiles": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   ROUND(percentile_disc(0.5)
+                         WITHIN GROUP (ORDER BY value), 6) AS p50,
+                   ROUND(percentile_disc(0.9)
+                         WITHIN GROUP (ORDER BY value), 6) AS p90,
+                   ROUND(percentile_disc(0.99)
+                         WITHIN GROUP (ORDER BY value), 6) AS p99
+            FROM events GROUP BY 1 ORDER BY 1""",
+        "events_sample_agg": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events WHERE user_id % 20 = 0
+            GROUP BY 1 ORDER BY 1""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # minhash_dup_clusters, simhash_docs, lang_id_docs,
         # fingerprint_docs, kg_triples, kg_mentions_all, kg_top_entities

@@ -1131,3 +1131,66 @@ def multimodal_features(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["multimodal_features"] = multimodal_features
+
+
+def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantiles WITHOUT a sort: per-batch (type,
+    value) count combiner -> one hash aggregate -> driver picks the
+    percentile_disc element from the cumulative histogram. The reduce
+    is bounded by DISTINCT values (a histogram), not rows — at 100 TB
+    a value sort is an all-to-all, the histogram is a small aggregate.
+    Assumption (documented): value cardinality is bounded (quantized
+    telemetry); for unbounded continuous values, pre-round the key."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "value"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    hist = (
+        ds.map_batches(combine, batch_format="pandas")
+        .groupby(["event_type", "value"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("value")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        vals = g["value"].to_numpy()
+        q = {}
+        for p, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            idx = int(np.ceil(p * total))  # percentile_disc element rank
+            q[name] = float(vals[np.searchsorted(cum, idx)])
+        rows.append({"event_type": et, "n_events": total, **q})
+    out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    return _round(out, {"p50": 6, "p90": 6, "p99": 6})
+
+
+def events_sample_agg(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash-sampling coverage (SURVEY 2.6): key-modulo
+    sample pushed into the scan filter, then the standard aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "events", ["event_type", "user_id", "value"])
+    out = (
+        ds.filter(expr="user_id % 20 == 0")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value", alias_name="sum_value"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return _round(out, {"sum_value": 4})
+
+
+QUERIES.update(
+    {
+        "events_value_quantiles": events_value_quantiles,
+        "events_sample_agg": events_sample_agg,
+    }
+)
