@@ -1176,8 +1176,13 @@ def events_sample_agg(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count, Sum
 
     ds = _rp(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(uid % 20 == 0))
+
     out = (
-        ds.filter(expr="user_id % 20 == 0")
+        ds.map_batches(sample, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(Count(alias_name="n_events"),
                    Sum("value", alias_name="sum_value"))
