@@ -18,6 +18,13 @@ from collections.abc import Callable
 from typing import Any
 
 _REV = "l_extendedprice * (1 - l_discount)"
+# revenue in EXACT integer 1e-4-dollar units (prices/discounts are
+# 2-decimal): float sums of 4-decimal revenue land exactly on .xx5
+# rounding boundaries where summation order decides the cent; integer
+# sums match the engine's identical integer math order-independently
+_REVU = ("(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+         "CAST(ROUND((1 - l_discount) * 100) AS BIGINT))")
+_REVU_2DEC = f"CAST((SUM({_REVU}) + 50) // 100 AS DOUBLE) / 100"
 
 
 def entry() -> Any:
@@ -41,22 +48,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2)        AS sum_qty,
                    ROUND(SUM(l_extendedprice), 2)   AS sum_base_price,
-                   ROUND(SUM({_REV}), 2)            AS sum_disc_price,
+                   {_REVU_2DEC}                     AS sum_disc_price,
                    ROUND(AVG(l_quantity), 6)        AS avg_qty,
                    ROUND(AVG(l_discount), 6)        AS avg_disc,
                    COUNT(*)                         AS count_order
             FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
         "q3_top_orders": f"""
             SELECT o.o_orderkey, o.o_orderdate,
-                   ROUND(SUM(l.{_REV.replace('l_', 'l_')}), 2) AS revenue
+                   {_REVU_2DEC} AS revenue
             FROM customer c
             JOIN orders o ON o.o_custkey = c.c_custkey
             JOIN lineitem l ON l.l_orderkey = o.o_orderkey
             WHERE c.c_mktsegment = 'BUILDING'
             GROUP BY 1, 2
-            ORDER BY SUM({_REV}) DESC, o.o_orderkey LIMIT 10""",
+            ORDER BY SUM({_REVU}) DESC, o.o_orderkey LIMIT 10""",
         "q5_region_revenue": f"""
-            SELECT r.r_name, n.n_name, ROUND(SUM({_REV}), 2) AS revenue
+            SELECT r.r_name, n.n_name, {_REVU_2DEC} AS revenue
             FROM region r
             JOIN nation n   ON n.n_regionkey = r.r_regionkey
             JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -65,7 +72,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 ORDER BY 1, 2""",
         "top_suppliers": f"""
             SELECT l.l_suppkey AS s_suppkey, s.s_name,
-                   ROUND(SUM({_REV}), 2) AS revenue,
+                   {_REVU_2DEC} AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
             GROUP BY 1, 2
@@ -193,6 +200,18 @@ def oracle_sql() -> dict[str, str]:
                                      AND CURRENT ROW) AS c
                 FROM events)
             SELECT user_id, CAST(MAX(c) AS BIGINT) AS peak,
+                   COUNT(*) AS n_events
+            FROM w GROUP BY 1 ORDER BY 1""",
+        "events_rolling_value": """
+            WITH w AS (
+                SELECT user_id,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN INTERVAL 4 HOUR PRECEDING
+                                     AND CURRENT ROW) AS s
+                FROM events)
+            SELECT user_id,
+                   CAST(MAX(s) AS DOUBLE) / 100 AS peak_4h_value,
                    COUNT(*) AS n_events
             FROM w GROUP BY 1 ORDER BY 1""",
         "events_asof_purchase_click": """

@@ -182,3 +182,56 @@ def sample_frames(ds, every_k: int = 4, fake: bool = True,
         SampleFrames, fn_constructor_kwargs={"every_k": every_k, "fake": fake},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
     )
+
+
+class ResizeImage:
+    """Actor stage: image payload -> resized pixel block (stub decode;
+    the real impl swaps _fake_pixels for PIL decode + Lanczos resize in
+    __call__, nothing else changes). Output keeps payload-free rows:
+    resized planes go out as fixed-length list<uint8-as-int> features,
+    the layout a training shard writer consumes."""
+
+    def __init__(self, out_w: int = 8, out_h: int = 8,
+                 fake: bool = False) -> None:
+        self.out_w = out_w
+        self.out_h = out_h
+        self.fake = fake
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "image decode requires PIL/cv2 (not in this environment); "
+                "construct with fake=True for the deterministic stub"
+            )
+        planes = []
+        for payload, w, h in zip(t["payload"].to_pylist(),
+                                 t["width"].to_pylist(),
+                                 t["height"].to_pylist()):
+            px = _fake_pixels(payload, max(w, 1), max(h, 1))
+            # box-filter resize via integer block means (numpy, no libs)
+            ys = np.linspace(0, px.shape[0], self.out_h + 1).astype(int)
+            xs = np.linspace(0, px.shape[1], self.out_w + 1).astype(int)
+            small = np.array([
+                [int(px[ys[i]:max(ys[i + 1], ys[i] + 1),
+                        xs[j]:max(xs[j + 1], xs[j] + 1)].mean())
+                 for j in range(self.out_w)]
+                for i in range(self.out_h)
+            ], dtype=np.int64)
+            planes.append(small.ravel().tolist())
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "resized": pa.array(planes, pa.list_(pa.int64())),
+                "out_w": pa.array([self.out_w] * t.num_rows, pa.int32()),
+                "out_h": pa.array([self.out_h] * t.num_rows, pa.int32()),
+            }
+        )
+
+
+def resize_images(ds, out_w: int = 8, out_h: int = 8, fake: bool = True,
+                  concurrency: int = 2, batch_size: int = 32):
+    return ds.map_batches(
+        ResizeImage,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h, "fake": fake},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )

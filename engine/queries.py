@@ -30,6 +30,24 @@ def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
     return df
 
 
+def _rev_units(ext, disc) -> np.ndarray:
+    """l_extendedprice * (1 - l_discount) in EXACT integer 1e-4-dollar
+    units (prices/discounts are 2-decimal): float sums of 4-decimal
+    revenue land exactly on .xx5 rounding boundaries and the summation
+    ORDER then decides the rounded cent — observed live at sf0.01
+    (supplier 89, true sum 29435912.4350). Integer sums are
+    order-independent and match the oracle's identical integer SQL."""
+    return (np.rint(np.asarray(ext) * 100).astype(np.int64)
+            * np.rint((1.0 - np.asarray(disc)) * 100).astype(np.int64))
+
+
+def _units_2dec(u) -> np.ndarray:
+    """Integer 1e-4-dollar units -> dollars rounded HALF-UP to 2
+    decimals in pure integer math (hundredths / 100 is float-exact)."""
+    u = np.asarray(u, dtype=np.int64)
+    return ((u + 50) // 100) / 100.0
+
+
 # --- TPC-H-ish -----------------------------------------------------------
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1 shape with an explicit map-side combiner: each batch
@@ -44,11 +62,11 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()
-        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        df["disc_units"] = _rev_units(df["l_extendedprice"], df["l_discount"])
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             sum_qty=("l_quantity", "sum"),
             sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
+            disc_units=("disc_units", "sum"),
             sum_disc=("l_discount", "sum"),
             count_order=("l_quantity", "size"),
         )
@@ -60,7 +78,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
             Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("disc_units", alias_name="disc_units"),
             Sum("sum_disc", alias_name="sum_disc"),
             Sum("count_order", alias_name="count_order"),
         )
@@ -68,12 +86,13 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         .sort_values(["l_returnflag", "l_linestatus"])
         .reset_index(drop=True)
     )
+    out["sum_disc_price"] = _units_2dec(out["disc_units"])
     out["avg_qty"] = out["sum_qty"] / out["count_order"]
     out["avg_disc"] = out["sum_disc"] / out["count_order"]
-    out = out.drop(columns=["sum_disc"])
+    out = out.drop(columns=["sum_disc", "disc_units"])
     out = out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
                "sum_disc_price", "avg_qty", "avg_disc", "count_order"]]
-    return _round(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
+    return _round(out, {"sum_qty": 2, "sum_base_price": 2,
                         "avg_qty": 6, "avg_disc": 6})
 
 
@@ -108,8 +127,8 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
 
     def partial_rev(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        g = df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+        df["rev_units"] = _rev_units(df["l_extendedprice"], df["l_discount"])
+        g = df.groupby("l_orderkey", as_index=False)["rev_units"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     joined = li.map_batches(partial_rev, batch_format="pyarrow").join(
@@ -119,13 +138,15 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     )
     rev = (
         joined.groupby("l_orderkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+        .aggregate(Sum("rev_units", alias_name="rev_units"))
         .to_pandas()
         .rename(columns={"l_orderkey": "o_orderkey"})
-        .sort_values(["revenue", "o_orderkey"], ascending=[False, True])
+        .sort_values(["rev_units", "o_orderkey"], ascending=[False, True])
         .head(10)
         .reset_index(drop=True)
     )
+    rev["revenue"] = _units_2dec(rev["rev_units"])
+    rev = rev.drop(columns=["rev_units"])
     # attach dates for the 10 winners only: key-filtered read (predicate
     # pushes to parquet row groups — never the whole orders table)
     win = list(rev["o_orderkey"])
@@ -134,8 +155,8 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         columns=["o_orderkey", "o_orderdate"],
         filters=[("o_orderkey", "in", win)],
     ).to_pandas()
-    rev = rev.merge(odf, on="o_orderkey")[["o_orderkey", "o_orderdate", "revenue"]]
-    return _round(rev, {"revenue": 2})
+    return rev.merge(odf, on="o_orderkey")[
+        ["o_orderkey", "o_orderdate", "revenue"]]
 
 
 def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
@@ -191,8 +212,8 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pd.DataFrame:
         df = t.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        return df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+        df["rev_units"] = _rev_units(df["l_extendedprice"], df["l_discount"])
+        return df.groupby("l_orderkey", as_index=False)["rev_units"].sum()
 
     li_part = li.map_batches(partial, batch_format="pyarrow")
 
@@ -202,19 +223,20 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
         if df.empty:
             return pd.DataFrame({"r_name": pd.Series([], dtype="object"),
                                  "n_name": pd.Series([], dtype="object"),
-                                 "revenue": pd.Series([], dtype="float64")})
-        return df.groupby(["r_name", "n_name"], as_index=False)["revenue"].sum()
+                                 "rev_units": pd.Series([], dtype="int64")})
+        return df.groupby(["r_name", "n_name"], as_index=False)["rev_units"].sum()
 
     out = (
         bucket_join(li_part, orders_ann, on="l_orderkey")
         .map_batches(combine, batch_format="pandas")
         .groupby(["r_name", "n_name"])
-        .aggregate(Sum("revenue", alias_name="revenue"))
-        .to_pandas()[["r_name", "n_name", "revenue"]]
+        .aggregate(Sum("rev_units", alias_name="rev_units"))
+        .to_pandas()
         .sort_values(["r_name", "n_name"])
         .reset_index(drop=True)
     )
-    return _round(out, {"revenue": 2})
+    out["revenue"] = _units_2dec(out["rev_units"])
+    return out[["r_name", "n_name", "revenue"]]
 
 
 def top_suppliers(sf_dir: str) -> pd.DataFrame:
@@ -225,14 +247,15 @@ def top_suppliers(sf_dir: str) -> pd.DataFrame:
     li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
 
     def derive(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"l_suppkey": t["l_suppkey"], "revenue": rev})
+        units = _rev_units(t["l_extendedprice"].to_numpy(zero_copy_only=False),
+                           t["l_discount"].to_numpy(zero_copy_only=False))
+        return pa.table({"l_suppkey": t["l_suppkey"],
+                         "rev_units": pa.array(units, pa.int64())})
 
     agg = (
         li.map_batches(derive, batch_format="pyarrow")
         .groupby("l_suppkey")
-        .aggregate(Sum("revenue", alias_name="revenue"),
+        .aggregate(Sum("rev_units", alias_name="rev_units"),
                    Count(alias_name="n_items"))
     )
     supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
@@ -241,10 +264,11 @@ def top_suppliers(sf_dir: str) -> pd.DataFrame:
                        on="l_suppkey")
         .to_pandas()
         .rename(columns={"l_suppkey": "s_suppkey"})
-    )[["s_suppkey", "s_name", "revenue", "n_items"]]
-    # round BEFORE sorting so tie-breaks match the oracle's
-    # ORDER BY rounded-revenue DESC, s_suppkey exactly
-    out = _round(out, {"revenue": 2})
+    )
+    out["revenue"] = _units_2dec(out["rev_units"])
+    out = out[["s_suppkey", "s_name", "revenue", "n_items"]]
+    # rounded (integer-exact) revenue BEFORE sorting so tie-breaks
+    # match the oracle's ORDER BY revenue DESC, s_suppkey exactly
     return (
         out.sort_values(["revenue", "s_suppkey"], ascending=[False, True])
         .reset_index(drop=True)
@@ -1199,3 +1223,34 @@ QUERIES.update(
         "events_sample_agg": events_sample_agg,
     }
 )
+
+
+def events_rolling_value(sf_dir: str) -> pd.DataFrame:
+    """Peak trailing-4h SUM(value) per user. Values go through the
+    window op as integer CENTS (2-decimal telemetry) so the prefix-sum
+    window math is exact and order-independent; cents/100 is
+    float-exact for the output."""
+    from .windows import rolling_sum
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "cents": pa.array(cents, pa.int64())})
+
+    out = rolling_sum(ds.map_batches(to_cents, batch_format="pyarrow"),
+                      key="user_id", ts="ts", val="cents",
+                      window=pd.Timedelta(hours=4)).to_pandas()
+    out["peak_4h_value"] = out["peak_sum"].astype("int64") / 100.0
+    out["n_events"] = out["n_events"].astype("int64")
+    return (
+        out[["user_id", "peak_4h_value", "n_events"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["events_rolling_value"] = events_rolling_value

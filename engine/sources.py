@@ -112,6 +112,13 @@ def read_transcripts_any(path: str, fmt: str = "parquet"):
                 cols[field.name] = t[field.name].cast(field.type)
             else:
                 cols[field.name] = pa.nulls(t.num_rows, field.type)
-        return pa.table(cols)[names]
+        return pa.table(cols).select(names)
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def write_transcripts_jsonl(ds, out_dir: str) -> None:
+    """Export a transcripts Dataset as partitioned JSONL (one file per
+    block — the interchange shape for non-parquet consumers); inverse
+    of read_transcripts_any(fmt='json')."""
+    ds.write_json(out_dir)

@@ -181,3 +181,41 @@ def range_join_count(left_ds, right_ds, key: str, ts: str,
         return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
 
     return both.groupby("__b").map_groups(count, batch_format="pandas")
+
+
+def rolling_sum(ds, key: str, ts: str, val: str, window: pd.Timedelta,
+                num_buckets: int = 64):
+    """Trailing-window SUM of a value column per key, aggregated to
+    (key, peak_sum, n_events). Same RANGE-frame semantics and bucket
+    exchange as rolling_count; the per-row window sum is a prefix-sum
+    difference over the composite axis (two searchsorted + one cumsum
+    per bucket — no per-key loop, no pair materialization).
+
+    Float note: window sums are prefix-sum DIFFERENCES, so cancellation
+    error can disagree with a direct per-window sum in the last ulp;
+    the query layer keeps values integer-quantized (cents) to stay
+    oracle-exact."""
+    window_ns = int(window / pd.Timedelta(1, "ns"))
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key, ts, val]].copy()
+        df["__b"] = pd.util.hash_array(df[key].to_numpy()) % num_buckets
+        return df
+
+    def peak(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts], kind="mergesort")
+        codes = g[key].factorize(sort=False)[0]
+        axis, _ = _composite_axis(codes, _ts_ns(g[ts]), window_ns)
+        lo = np.searchsorted(axis, axis - np.int64(window_ns), side="left")
+        hi = np.searchsorted(axis, axis, side="right")
+        pref = np.concatenate([[0], np.cumsum(g[val].to_numpy())])
+        g = g.assign(__s=pref[hi] - pref[lo])
+        return g.groupby(key, as_index=False).agg(
+            peak_sum=("__s", "max"), n_events=("__s", "size")
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(peak, batch_format="pandas")
+    )

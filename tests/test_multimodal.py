@@ -39,3 +39,14 @@ def test_multimodal_features_query(ray_session):
     assert list(df["kind"]) == ["audio", "image", "video"]
     assert (df["n_items"] == 40).all()  # 120 items round-robin 3 kinds
     assert np.isfinite(df["feat_mean"]).all()
+
+
+def test_resize_images_stub(ray_session):
+    from engine.multimodal import resize_images, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(30))
+    imgs = media.filter(expr="kind == 'image'")
+    out = resize_images(imgs, out_w=4, out_h=3, fake=True).to_pandas()
+    assert len(out) == imgs.count()
+    assert all(len(v) == 12 for v in out["resized"])
+    assert (out["out_w"] == 4).all() and (out["out_h"] == 3).all()

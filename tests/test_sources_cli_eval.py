@@ -94,3 +94,25 @@ def test_distributed_components_long_chain(ray_session):
     ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
     dist = {r["node"]: r["root"] for r in components(ds, num_partitions=8).take_all()}
     assert dist == local
+
+
+def test_transcripts_jsonl_csv_roundtrip(ray_session, tmp_path):
+    """read_transcripts_any normalizes JSONL and CSV exports back to
+    the TRANSCRIPTS schema with identical rows."""
+    import ray.data as rd
+
+    from engine.sources import read_transcripts_any, write_transcripts_jsonl
+    from engine.synth import make_transcripts_local
+
+    t = make_transcripts_local(n_convs=5, seed=9)
+    ds = rd.from_arrow(t)
+    jdir = str(tmp_path / "j")
+    write_transcripts_jsonl(ds, jdir)
+    back = read_transcripts_any(jdir, fmt="json").to_pandas()
+    orig = t.to_pandas()
+    key = ["conv_id", "turn_idx"]
+    back = back.sort_values(key).reset_index(drop=True)
+    orig = orig.sort_values(key).reset_index(drop=True)
+    assert list(back.columns) == list(orig.columns)
+    assert (back["text"] == orig["text"]).all()
+    assert len(back) == len(orig)
