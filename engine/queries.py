@@ -947,13 +947,15 @@ def events_asof_purchase_click(sf_dir: str) -> pd.DataFrame:
     """Each purchase as-of joined (backward) to the user's most recent
     click; per-user totals with the gap kept in integer microseconds so
     the comparison is float-free."""
-    from .windows import asof_join
+    from .windows import asof_join_single
 
     ds = _rp(sf_dir, "events", ["user_id", "ts", "event_type"])
-    purchases = ds.filter(expr="event_type == 'purchase'")
-    clicks = ds.filter(expr="event_type == 'click'")
-    joined = asof_join(purchases, clicks, key="user_id", ts="ts",
-                       right_ts_out="click_ts").to_pandas()
+    joined = asof_join_single(
+        ds, key="user_id", ts="ts",
+        left_mask_fn=lambda df: df["event_type"].eq("purchase"),
+        right_mask_fn=lambda df: df["event_type"].eq("click"),
+        right_ts_out="click_ts",
+    ).to_pandas()
     # NaT-safe integer microseconds: the Timedelta division yields
     # integer-valued float64 (exact below 2**53 us ~ 285 years)
     joined["gap_us"] = (

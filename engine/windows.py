@@ -105,6 +105,34 @@ def asof_join(left_ds, right_ds, key: str, ts: str,
     both = left_ds.map_batches(tag("l"), batch_format="pandas").union(
         right_ds.map_batches(tag("r"), batch_format="pandas")
     )
+    return _asof_merge(both, key, ts, right_ts_out)
+
+
+def asof_join_single(ds, key: str, ts: str, left_mask_fn, right_mask_fn,
+                     right_ts_out: str = "matched_ts",
+                     num_buckets: int = 64):
+    """asof_join when BOTH sides come from the same source dataset
+    (e.g. two event types of one stream): ONE scan tags each row l/r
+    via the vectorized mask callbacks (df -> bool mask; a row matching
+    both emits twice), instead of two full reads + union. Same bucket
+    exchange and per-bucket merge as asof_join."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        lm = left_mask_fn(df)
+        rm = right_mask_fn(df)
+        l = df[lm][[key, ts]].copy()
+        l["__side"] = "l"
+        r = df[rm][[key, ts]].copy()
+        r["__side"] = "r"
+        out = pd.concat([l, r], ignore_index=True)
+        out["__b"] = pd.util.hash_array(out[key].to_numpy()) % num_buckets
+        return out
+
+    both = ds.map_batches(tag, batch_format="pandas")
+    return _asof_merge(both, key, ts, right_ts_out)
+
+
+def _asof_merge(both, key: str, ts: str, right_ts_out: str):
 
     def merge(g: pd.DataFrame):
         import pyarrow as pa
@@ -135,6 +163,7 @@ def asof_join(left_ds, right_ds, key: str, ts: str,
         return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
 
     return both.groupby("__b").map_groups(merge, batch_format="pandas")
+
 
 
 def range_join_count(left_ds, right_ds, key: str, ts: str,
