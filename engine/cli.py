@@ -22,8 +22,13 @@ def _ensure_ray() -> bool:
 
     started = not ray.is_initialized()
     if started:
-        ray.init(address="local", include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
+        import os
+
+        # under `ray job submit` RAY_ADDRESS points at the cluster; a
+        # bare invocation (no env) starts a local session
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -173,7 +173,6 @@ def range_join_count(left_ds, right_ds, key: str, ts: str,
     (key, n_pairs) for keys with n_pairs > 0. Same single-shuffle
     packed-union exchange as asof_join; counts via two composite-key
     searchsorted calls per bucket (no pair materialization)."""
-    window_ns = int(window / pd.Timedelta(1, "ns"))
 
     def tag(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -187,6 +186,31 @@ def range_join_count(left_ds, right_ds, key: str, ts: str,
     both = left_ds.map_batches(tag("l"), batch_format="pandas").union(
         right_ds.map_batches(tag("r"), batch_format="pandas")
     )
+    return _range_count(both, key, ts, window)
+
+
+def range_join_count_single(ds, key: str, ts: str, window: pd.Timedelta,
+                            left_mask_fn, right_mask_fn,
+                            num_buckets: int = 64):
+    """range_join_count when both sides come from one source dataset:
+    ONE scan tags rows l/r via vectorized mask callbacks (see
+    asof_join_single)."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[left_mask_fn(df)][[key, ts]].copy()
+        l["__side"] = "l"
+        r = df[right_mask_fn(df)][[key, ts]].copy()
+        r["__side"] = "r"
+        out = pd.concat([l, r], ignore_index=True)
+        out["__b"] = pd.util.hash_array(out[key].to_numpy()) % num_buckets
+        return out
+
+    return _range_count(ds.map_batches(tag, batch_format="pandas"),
+                        key, ts, window)
+
+
+def _range_count(both, key: str, ts: str, window: pd.Timedelta):
+    window_ns = int(window / pd.Timedelta(1, "ns"))
 
     def count(g: pd.DataFrame):
         import pyarrow as pa
