@@ -197,7 +197,7 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 def verify_pairs(pairs_ds, docs_ds, threshold: float = 0.8,
                  k_shingle: int = 3, num_buckets: int = 32,
-                 emit_counts: bool = False):
+                 emit_counts: bool = False, small_threshold: int = 50_000):
     """Verify candidate pairs with true n-gram Jaccard — fully
     distributed, no driver materialization and no whole-corpus
     broadcast: explode each pair to two (doc_a, doc_b, doc_id) side
@@ -205,7 +205,15 @@ def verify_pairs(pairs_ds, docs_ds, threshold: float = 0.8,
     attach texts (only candidate docs survive the inner join), then
     regroup on the pair key and score each pair inside its bucket with
     a per-bucket shingle cache. Texts shuffle at most twice, and only
-    for docs that are LSH candidates."""
+    for docs that are LSH candidates.
+
+    Scale-aware switch (same local/distributed pattern as
+    engine.canon.components_auto): when the candidate-pair count is
+    under `small_threshold`, the three-shuffle distributed verify is
+    pure fixed cost — the pairs AND the is_in-filtered candidate texts
+    (bounded by 2x pairs, NOT the corpus) are scored driver-side
+    vectorized instead. The distributed path stays the default shape
+    for real candidate volumes."""
     from .joins import bucket_join
 
     import pyarrow as pa
@@ -226,7 +234,65 @@ def verify_pairs(pairs_ds, docs_ds, threshold: float = 0.8,
     # repartition absorbs the schema-less empty partitions the upstream
     # hash-shuffle map_groups emits (they skip map UDFs and would break
     # the bucket co-group's key sort); candidate pairs are small
-    pairs_ds = pairs_ds.materialize().repartition(num_buckets)
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() <= small_threshold:
+        pairs = pairs_ds.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        if pairs.empty:
+            cols = (["doc_a", "doc_b", "n_inter", "n_union"] if emit_counts
+                    else ["doc_a", "doc_b", "jaccard"])
+            empty = {c: pd.Series([], dtype="float64" if c == "jaccard"
+                                  else "int64") for c in cols}
+            import ray.data as rd
+
+            return rd.from_pandas(pd.DataFrame(empty))
+        ids = pa.array(pd.unique(
+            pd.concat([pairs["doc_a"], pairs["doc_b"]])).astype("int64"),
+            pa.int64())
+        # texts of CANDIDATE docs only (<= 2x pairs rows), filtered in
+        # the stream — the corpus itself never lands on the driver
+        cand_texts = (
+            docs_ds.map_batches(
+                lambda t, ids=ids: t.filter(pc.is_in(t["doc_id"],
+                                                     value_set=ids)),
+                batch_format="pyarrow")
+            .to_pandas().set_index("doc_id")["text"]
+        )
+        tok_cache: dict[str, int] = {}
+        sh_cache: dict[int, np.ndarray] = {}
+
+        def sh(i: int) -> np.ndarray:
+            s = sh_cache.get(i)
+            if s is None:
+                s = sh_cache[i] = _shingles(cand_texts.get(i, ""),
+                                            k_shingle, tok_cache)
+            return s
+
+        inter, union = [], []
+        for ia, ib in zip(pairs["doc_a"], pairs["doc_b"]):
+            sa, sb = sh(int(ia)), sh(int(ib))
+            ni = len(np.intersect1d(sa, sb, assume_unique=True))
+            inter.append(ni)
+            union.append(len(sa) + len(sb) - ni)
+        pairs = pairs.assign(
+            n_inter=pd.Series(inter, index=pairs.index, dtype="int64"),
+            n_union=pd.Series(union, index=pairs.index, dtype="int64"),
+        )
+        import ray.data as rd
+
+        if emit_counts:
+            num = int(round(threshold * 1_000_000))
+            keep = pairs["n_inter"] * 1_000_000 >= num * pairs["n_union"]
+            return rd.from_pandas(
+                pairs[keep][["doc_a", "doc_b", "n_inter", "n_union"]])
+        pairs["jaccard"] = np.where(pairs["n_union"] > 0,
+                                    pairs["n_inter"] / pairs["n_union"], 1.0)
+        return rd.from_pandas(
+            pairs[pairs["jaccard"] >= threshold][
+                ["doc_a", "doc_b", "jaccard"]])
+
+    # distributed path: repartition absorbs the schema-less empty
+    # partitions the upstream hash-shuffle map_groups emits
+    pairs_ds = pairs_ds.repartition(num_buckets)
     id_parts = pairs_ds.map_batches(
         lambda df: pd.DataFrame(
             {"doc_id": pd.unique(pd.concat([df["doc_a"], df["doc_b"]]))}),

@@ -181,3 +181,29 @@ def test_bucket_join_matches_pandas(ray_session):
     want = l.merge(r, on="k").sort_values(["k", "x"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["k", "x", "y"]].astype("int64"),
                                   want.astype("int64"))
+
+
+def test_verify_pairs_local_matches_distributed(ray_session):
+    """The small-candidates driver fast path and the bucket-join
+    distributed path score identically (small_threshold=0 forces the
+    distributed shape on the same input)."""
+    import ray.data as rd
+
+    from engine.dedup import minhash_candidates, verify_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3],
+         "text": [base, base, base + " extra tail", "totally different words here now"]})
+    dd = rd.from_pandas(docs)
+    cands = minhash_candidates(dd, pairs="clique")
+    fast = (verify_pairs(cands, dd, 0.5, emit_counts=True)
+            .to_pandas().drop_duplicates(["doc_a", "doc_b"])
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    cands2 = minhash_candidates(dd, pairs="clique")
+    dist = (verify_pairs(cands2, dd, 0.5, emit_counts=True,
+                         small_threshold=0)
+            .to_pandas().drop_duplicates(["doc_a", "doc_b"])
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, dist, check_dtype=False)
+    assert len(fast) >= 3
