@@ -282,6 +282,18 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 4) AS sum_value
             FROM events WHERE user_id % 20 = 0
             GROUP BY 1 ORDER BY 1""",
+        "top_terms": """
+            SELECT t AS term, COUNT(*) AS n
+            FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(t)
+            GROUP BY 1 ORDER BY n DESC, term LIMIT 20""",
+        "quality_filter_docs": """
+            SELECT lang,
+                   COUNT(*) FILTER (
+                       len(string_split(text, ' ')) BETWEEN 20 AND 500
+                       AND length(regexp_replace(text, '[^0-9]', '', 'g')) * 5
+                           <= length(text)) AS kept,
+                   COUNT(*) AS total
+            FROM documents GROUP BY 1 ORDER BY 1""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # minhash_dup_clusters, simhash_docs, lang_id_docs,
         # fingerprint_docs, kg_triples, kg_mentions_all, kg_top_entities

@@ -1274,3 +1274,75 @@ def events_rolling_value(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["events_rolling_value"] = events_rolling_value
+
+
+def top_terms(sf_dir: str) -> pd.DataFrame:
+    """Word-count heavy hitters: per-batch Counter combiner (one row
+    per distinct term per batch — the map-side pre-aggregation that
+    makes the shuffle vocabulary-sized, not token-sized), one hash
+    aggregate, driver top-k over the distinct-term table (bounded by
+    vocabulary, not corpus)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for t in df["text"]:
+            c.update(t.lower().split())
+        return pd.DataFrame({"term": list(c.keys()),
+                             "n": pd.Series(list(c.values()), dtype="int64")})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return (
+        out.sort_values(["n", "term"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+def quality_filter_docs(sf_dir: str) -> pd.DataFrame:
+    """Quality FILTER (not just stats): keep docs with 20..500
+    whitespace tokens and <20% digit mass; per-language kept/total
+    counts. Vectorized pandas str ops; str.count(' ')+1 equals the
+    oracle's len(string_split(text, ' ')) for every string."""
+    ds = _rp(sf_dir, "documents", ["lang", "text"])
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        n_tokens = df["text"].str.count(" ").astype("int64") + 1
+        digits = df["text"].str.count(r"[0-9]").astype("int64")
+        n_chars = df["text"].str.len().astype("int64")
+        keep = (n_tokens.between(20, 500) & (digits * 5 <= n_chars))
+        out = df[["lang"]].copy()
+        out["kept"] = keep.astype("int64")
+        return out.groupby("lang", as_index=False).agg(
+            kept=("kept", "sum"), total=("kept", "size"))
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(flags, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("kept", alias_name="kept"),
+                   Sum("total", alias_name="total"))
+        .to_pandas()
+    )
+    for c in ["kept", "total"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+QUERIES.update(
+    {
+        "top_terms": top_terms,
+        "quality_filter_docs": quality_filter_docs,
+    }
+)
