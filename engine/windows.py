@@ -84,18 +84,28 @@ def rolling_count(ds, key: str, ts: str, window: pd.Timedelta,
 
 
 def asof_join(left_ds, right_ds, key: str, ts: str,
-              right_ts_out: str = "matched_ts", num_buckets: int = 64):
+              right_ts_out: str = "matched_ts", num_buckets: int = 64,
+              right_cols: list[str] | None = None):
     """For each left row, attach the greatest right ts <= left ts with
     the same key (backward as-of, exact matches allowed) — DuckDB
     `ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >= r.ts` semantics.
 
     Both sides are packed into one uniform (key, ts, side) stream so
     the exchange is a single shuffle; merge_asof inside each bucket is
-    pandas' vectorized galloping merge, one call per BUCKET."""
+    pandas' vectorized galloping merge, one call per BUCKET.
+
+    `right_cols` attaches NUMERIC payload columns of the matched right
+    row (cast float64 so the packed union stays uniform-schema; NaN
+    where unmatched). For non-numeric payloads, equi-join the result's
+    (key, matched_ts) back against the right side with
+    engine.joins.bucket_join instead."""
 
     def tag(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             out = df[[key, ts]].copy()
+            for c in right_cols or []:
+                out[c] = (df[c].astype("float64") if side == "r"
+                          else np.float64("nan"))
             out["__side"] = side
             out["__b"] = pd.util.hash_array(out[key].to_numpy()) % num_buckets
             return out
@@ -105,12 +115,13 @@ def asof_join(left_ds, right_ds, key: str, ts: str,
     both = left_ds.map_batches(tag("l"), batch_format="pandas").union(
         right_ds.map_batches(tag("r"), batch_format="pandas")
     )
-    return _asof_merge(both, key, ts, right_ts_out)
+    return _asof_merge(both, key, ts, right_ts_out, right_cols)
 
 
 def asof_join_single(ds, key: str, ts: str, left_mask_fn, right_mask_fn,
                      right_ts_out: str = "matched_ts",
-                     num_buckets: int = 64):
+                     num_buckets: int = 64,
+                     right_cols: list[str] | None = None):
     """asof_join when BOTH sides come from the same source dataset
     (e.g. two event types of one stream): ONE scan tags each row l/r
     via the vectorized mask callbacks (df -> bool mask; a row matching
@@ -121,18 +132,24 @@ def asof_join_single(ds, key: str, ts: str, left_mask_fn, right_mask_fn,
         lm = left_mask_fn(df)
         rm = right_mask_fn(df)
         l = df[lm][[key, ts]].copy()
+        for c in right_cols or []:
+            l[c] = np.float64("nan")
         l["__side"] = "l"
         r = df[rm][[key, ts]].copy()
+        for c in right_cols or []:
+            r[c] = df[rm][c].astype("float64")
         r["__side"] = "r"
         out = pd.concat([l, r], ignore_index=True)
         out["__b"] = pd.util.hash_array(out[key].to_numpy()) % num_buckets
         return out
 
     both = ds.map_batches(tag, batch_format="pandas")
-    return _asof_merge(both, key, ts, right_ts_out)
+    return _asof_merge(both, key, ts, right_ts_out, right_cols)
 
 
-def _asof_merge(both, key: str, ts: str, right_ts_out: str):
+def _asof_merge(both, key: str, ts: str, right_ts_out: str,
+                right_cols: list[str] | None = None):
+    rcols = list(right_cols or [])
 
     def merge(g: pd.DataFrame):
         import pyarrow as pa
@@ -142,10 +159,11 @@ def _asof_merge(both, key: str, ts: str, right_ts_out: str):
         kt = pa.Table.from_pandas(g[[key, ts]].head(0),
                                   preserve_index=False).schema
         schema = pa.schema([kt.field(key), kt.field(ts),
-                            kt.field(ts).with_name(right_ts_out)])
+                            kt.field(ts).with_name(right_ts_out)]
+                           + [(c, pa.float64()) for c in rcols])
         lg = g[g["__side"] == "l"][[key, ts]].sort_values(ts, kind="mergesort")
         rg = (
-            g[g["__side"] == "r"][[key, ts]]
+            g[g["__side"] == "r"][[key, ts] + rcols]
             .rename(columns={ts: right_ts_out})
             .sort_values(right_ts_out, kind="mergesort")
         )
@@ -155,6 +173,8 @@ def _asof_merge(both, key: str, ts: str, right_ts_out: str):
             out = lg.copy()
             out[right_ts_out] = pd.Series(pd.NaT, index=out.index,
                                           dtype=g[ts].dtype)
+            for c in rcols:
+                out[c] = np.float64("nan")
         else:
             out = pd.merge_asof(
                 lg, rg, left_on=ts, right_on=right_ts_out, by=key,

@@ -174,3 +174,28 @@ def test_ngram_jaccard_clique_completeness(ray_session):
     assert {(0, 1), (0, 2), (1, 2)} <= set(zip(got["doc_a"], got["doc_b"]))
     exact = got[(got["doc_a"] == 0) & (got["doc_b"] == 1)]
     assert (exact["n_inter"] == exact["n_union"]).all()
+
+
+def test_asof_join_right_payload(ray_session):
+    from engine.windows import asof_join
+
+    df = _events()
+    rng = np.random.default_rng(4)
+    df["value"] = np.round(rng.uniform(0, 10, len(df)), 2)
+    left = df[df["event_type"] == "a"][["user_id", "ts"]]
+    right = df[df["event_type"] == "b"][["user_id", "ts", "value"]]
+    got = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                  key="user_id", ts="ts", right_ts_out="m",
+                  right_cols=["value"], num_buckets=4)
+        .to_pandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts"),
+        right.rename(columns={"ts": "m"}).sort_values("m"),
+        left_on="ts", right_on="m", by="user_id", direction="backward",
+    ).sort_values(["user_id", "ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got["value"].notna().sum() > 0
