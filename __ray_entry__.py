@@ -294,6 +294,17 @@ def oracle_sql() -> dict[str, str]:
                            <= length(text)) AS kept,
                    COUNT(*) AS total
             FROM documents GROUP BY 1 ORDER BY 1""",
+        "events_retention": """
+            WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+                       FROM events GROUP BY 1),
+                 a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+                       FROM events)
+            SELECT f.cohort, COUNT(*) AS n_users,
+                   CAST(COUNT(a.user_id) AS BIGINT) AS n_retained
+            FROM f LEFT JOIN a
+              ON a.user_id = f.user_id
+             AND a.w = f.cohort + INTERVAL 7 DAY
+            GROUP BY 1 ORDER BY 1""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # minhash_dup_clusters, simhash_docs, lang_id_docs,
         # fingerprint_docs, kg_triples, kg_mentions_all, kg_top_entities

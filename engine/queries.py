@@ -1346,3 +1346,88 @@ QUERIES.update(
         "quality_filter_docs": quality_filter_docs,
     }
 )
+
+
+def embed_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup CLUSTERS: cosine_pairs edges ->
+    connected components (engine.canon scale-aware CC) -> (vec_id,
+    cluster_id), cluster root = min vec_id. Rows-only (transitive
+    closure isn't stable SQL); pair membership itself is oracle-checked
+    by embed_dup_pairs."""
+    from .canon import components_auto
+    from .simsearch import cosine_pairs
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = cosine_pairs(ds, threshold=0.425)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.utf8_lpad(pc.cast(t["vec_a"], pa.string()), 20, "0"),
+            "dst": pc.utf8_lpad(pc.cast(t["vec_b"], pa.string()), 20, "0"),
+        })
+
+    comp = components_auto(pairs.map_batches(to_edges, batch_format="pyarrow"))
+    df = comp.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
+    out = pd.DataFrame({"vec_id": df["node"].astype("int64"),
+                        "cluster_id": df["root"].astype("int64")})
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def events_retention(sf_dir: str) -> pd.DataFrame:
+    """Weekly cohort retention: cohort = Monday-truncated week of each
+    user's FIRST event; retained = any activity in cohort+1 week.
+    Shape: one user-hash bucket exchange; per bucket a vectorized
+    (user -> min-ts, distinct-week) fold emits bounded (cohort,
+    n_users, n_retained) partials; final aggregate is weeks-sized."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ub"] = df["user_id"] % 64
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # Monday week-floor, matching DuckDB date_trunc('week', ts)
+        week = (g["ts"].dt.normalize()
+                - pd.to_timedelta(g["ts"].dt.dayofweek, unit="D"))
+        g = g.assign(week=week)
+        first = g.groupby("user_id", as_index=False)["week"].min().rename(
+            columns={"week": "cohort"})
+        weeks = g[["user_id", "week"]].drop_duplicates()
+        nxt = first.assign(week=first["cohort"] + pd.Timedelta(days=7))
+        ret = nxt.merge(weeks, on=["user_id", "week"], how="inner")
+        out = first.groupby("cohort", as_index=False).agg(
+            n_users=("user_id", "size"))
+        r = ret.groupby("cohort", as_index=False).agg(
+            n_retained=("user_id", "size"))
+        out = out.merge(r, on="cohort", how="left")
+        out["n_retained"] = out["n_retained"].fillna(0).astype("int64")
+        return out
+
+    out = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("cohort")
+        .aggregate(Sum("n_users", alias_name="n_users"),
+                   Sum("n_retained", alias_name="n_retained"))
+        .to_pandas()
+        .sort_values("cohort")
+        .reset_index(drop=True)
+    )
+    for c in ["n_users", "n_retained"]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+QUERIES.update(
+    {
+        "embed_dup_clusters": embed_dup_clusters,
+        "events_retention": events_retention,
+    }
+)
