@@ -199,3 +199,28 @@ def test_asof_join_right_payload(ray_session):
     ).sort_values(["user_id", "ts"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert got["value"].notna().sum() > 0
+
+
+def test_embed_dup_clusters_match_local_uf(ray_session):
+    """Cluster roots from the distributed CC equal a local union-find
+    over the oracle-checked cosine pairs."""
+    from engine.queries import embed_dup_clusters, embed_dup_pairs
+
+    sf = "/root/testdata/sf0.001"
+    c = embed_dup_clusters(sf)
+    p = embed_dup_pairs(sf)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(p["vec_a"], p["vec_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {v: int(find(v)) for v in set(p["vec_a"]) | set(p["vec_b"])}
+    got = dict(zip(c["vec_id"], c["cluster_id"]))
+    assert got == exp and len(got) > 0
