@@ -176,7 +176,8 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         ["o_orderkey", "o_orderdate", "revenue"]]
 
 
-def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
+def q5_region_revenue(sf_dir: str,
+                      small_threshold: int = 5_000_000) -> pd.DataFrame:
     """Shape: region⋈nation (25 rows) broadcast-merges onto streaming
     customer batches, collapsing to a custkey -> (n_name, r_name)
     3-column dim that is ray.put once (dimension-table broadcast);
@@ -243,9 +244,28 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
                                  "rev_units": pd.Series([], dtype="int64")})
         return df.groupby(["r_name", "n_name"], as_index=False)["rev_units"].sum()
 
+    # scale-aware switch (the canon/verify_pairs idiom): the annotated
+    # orders dim is 3 narrow columns; under the explicit threshold it
+    # broadcast-merges onto streaming lineitem partials (NO join
+    # shuffle), above it the packed bucket join runs. This is a BOUNDED
+    # broadcast with a distributed fallback — not the unconditional
+    # driver map of round 1.
+    orders_mat = orders_ann.materialize()
+    if orders_mat.count() <= small_threshold:
+        omap = orders_mat.to_pandas()
+        oref = ray.put(omap)
+
+        def attach(df: pd.DataFrame, oref=oref) -> pd.DataFrame:
+            o = ray.get(oref)
+            return combine(df.merge(o, on="l_orderkey"))
+
+        partials = li_part.map_batches(attach, batch_format="pandas")
+    else:
+        partials = bucket_join(li_part, orders_mat, on="l_orderkey").map_batches(
+            combine, batch_format="pandas")
+
     out = (
-        bucket_join(li_part, orders_ann, on="l_orderkey")
-        .map_batches(combine, batch_format="pandas")
+        partials
         .groupby(["r_name", "n_name"])
         .aggregate(Sum("rev_units", alias_name="rev_units"))
         .to_pandas()

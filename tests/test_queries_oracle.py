@@ -79,3 +79,16 @@ def test_entry_smoke(ray_session):
     df = _to_df(res)
     assert len(df) >= 0
     assert {"subj", "pred", "obj"} <= set(df.columns)
+
+
+def test_q5_distributed_branch_matches(ray_session):
+    """small_threshold=0 forces the packed bucket-join branch; result
+    must equal the broadcast fast path (and hence the oracle)."""
+    import __ray_entry__ as e
+    from engine.queries import q5_region_revenue
+
+    fast = q5_region_revenue(SF_DIR)
+    dist = q5_region_revenue(SF_DIR, small_threshold=0)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(fast, dist)
