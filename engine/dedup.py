@@ -86,9 +86,11 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
         return out[[id_col, "n_copies"]]
 
+    from .shuffle import bucket_partitions
+
     return (
         ds.map_batches(hash_batch, batch_format="pandas")
-        .groupby("part")
+        .groupby("part", num_partitions=bucket_partitions(64))
         .map_groups(finalize, batch_format="pandas")
     )
 
@@ -184,7 +186,11 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
 
     # pairs may repeat across bands — downstream verify and CC are
     # idempotent, so no extra dedup shuffle is spent here
-    return banded.groupby("part").map_groups(bucket_pairs, batch_format="pandas")
+    from .shuffle import bucket_partitions
+
+    return banded.groupby(
+        "part", num_partitions=bucket_partitions(64)
+    ).map_groups(bucket_pairs, batch_format="pandas")
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -215,6 +221,7 @@ def verify_pairs(pairs_ds, docs_ds, threshold: float = 0.8,
     vectorized instead. The distributed path stays the default shape
     for real candidate volumes."""
     from .joins import bucket_join
+    from .shuffle import bucket_partitions
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -383,7 +390,7 @@ def verify_pairs(pairs_ds, docs_ds, threshold: float = 0.8,
         # of the (candidate pairs x text) rows — bounded by the
         # candidate set, not the corpus.
         .repartition(num_buckets)
-        .groupby("pb")
+        .groupby("pb", num_partitions=bucket_partitions(num_buckets))
         .map_groups(score_bucket, batch_format="pandas")
     )
 

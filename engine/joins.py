@@ -99,6 +99,8 @@ def bucket_join(left, right, on: list[str] | str, num_buckets: int = 32,
               if frames["r"] else pd.DataFrame(columns=r_cols))
         return lg.merge(rg, on=on_cols, how=how)
 
-    return lds.union(rds).groupby("__bucket").map_groups(
-        merge_bucket, batch_format="pandas"
-    )
+    from .shuffle import bucket_partitions
+
+    return lds.union(rds).groupby(
+        "__bucket", num_partitions=bucket_partitions(num_buckets)
+    ).map_groups(merge_bucket, batch_format="pandas")

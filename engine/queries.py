@@ -41,6 +41,12 @@ def _rp(sf_dir: str, table: str, columns: list[str] | None = None):
     return rd.read_parquet(path, **kwargs)
 
 
+def _bparts(num_buckets: int = 64) -> int:
+    from .shuffle import bucket_partitions
+
+    return bucket_partitions(num_buckets)
+
+
 def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
     for c, n in cols.items():
         df[c] = df[c].round(n)
@@ -480,7 +486,7 @@ def events_sessions(sf_dir: str) -> pd.DataFrame:
 
     return (
         ds.map_batches(bucket, batch_format="pandas")
-        .groupby("ub")
+        .groupby("ub", num_partitions=_bparts(64))
         .map_groups(sess, batch_format="pandas")
         .to_pandas()[["user_id", "n_sessions", "n_events"]]
         .sort_values("user_id")
@@ -826,7 +832,7 @@ def events_user_max_gap(sf_dir: str) -> pd.DataFrame:
 
     return (
         ds.map_batches(bucket, batch_format="pandas")
-        .groupby("ub")
+        .groupby("ub", num_partitions=_bparts(64))
         .map_groups(gaps, batch_format="pandas")
         .to_pandas()[["user_id", "max_gap_sec", "n_events"]]
         .sort_values("user_id")
@@ -1431,7 +1437,7 @@ def events_retention(sf_dir: str) -> pd.DataFrame:
 
     out = (
         ds.map_batches(bucket, batch_format="pandas")
-        .groupby("ub")
+        .groupby("ub", num_partitions=_bparts(64))
         .map_groups(fold, batch_format="pandas")
         .groupby("cohort")
         .aggregate(Sum("n_users", alias_name="n_users"),

@@ -35,6 +35,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .shuffle import bucket_partitions
+
 def _ts_ns(series: pd.Series) -> np.ndarray:
     """Timestamps to int64 NANOSECONDS regardless of the series
     resolution (parquet reads land as datetime64[us], from_pandas as
@@ -78,7 +80,7 @@ def rolling_count(ds, key: str, ts: str, window: pd.Timedelta,
 
     return (
         ds.map_batches(bucket, batch_format="pandas")
-        .groupby("__b")
+        .groupby("__b", num_partitions=bucket_partitions(num_buckets))
         .map_groups(peak, batch_format="pandas")
     )
 
@@ -115,7 +117,8 @@ def asof_join(left_ds, right_ds, key: str, ts: str,
     both = left_ds.map_batches(tag("l"), batch_format="pandas").union(
         right_ds.map_batches(tag("r"), batch_format="pandas")
     )
-    return _asof_merge(both, key, ts, right_ts_out, right_cols)
+    return _asof_merge(both, key, ts, right_ts_out, right_cols,
+                       num_buckets)
 
 
 def asof_join_single(ds, key: str, ts: str, left_mask_fn, right_mask_fn,
@@ -144,11 +147,13 @@ def asof_join_single(ds, key: str, ts: str, left_mask_fn, right_mask_fn,
         return out
 
     both = ds.map_batches(tag, batch_format="pandas")
-    return _asof_merge(both, key, ts, right_ts_out, right_cols)
+    return _asof_merge(both, key, ts, right_ts_out, right_cols,
+                       num_buckets)
 
 
 def _asof_merge(both, key: str, ts: str, right_ts_out: str,
-                right_cols: list[str] | None = None):
+                right_cols: list[str] | None = None,
+                num_buckets: int = 64):
     rcols = list(right_cols or [])
 
     def merge(g: pd.DataFrame):
@@ -182,7 +187,7 @@ def _asof_merge(both, key: str, ts: str, right_ts_out: str,
             )
         return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
 
-    return both.groupby("__b").map_groups(merge, batch_format="pandas")
+    return both.groupby("__b", num_partitions=bucket_partitions(num_buckets)).map_groups(merge, batch_format="pandas")
 
 
 
@@ -206,7 +211,7 @@ def range_join_count(left_ds, right_ds, key: str, ts: str,
     both = left_ds.map_batches(tag("l"), batch_format="pandas").union(
         right_ds.map_batches(tag("r"), batch_format="pandas")
     )
-    return _range_count(both, key, ts, window)
+    return _range_count(both, key, ts, window, num_buckets)
 
 
 def range_join_count_single(ds, key: str, ts: str, window: pd.Timedelta,
@@ -226,10 +231,11 @@ def range_join_count_single(ds, key: str, ts: str, window: pd.Timedelta,
         return out
 
     return _range_count(ds.map_batches(tag, batch_format="pandas"),
-                        key, ts, window)
+                        key, ts, window, num_buckets)
 
 
-def _range_count(both, key: str, ts: str, window: pd.Timedelta):
+def _range_count(both, key: str, ts: str, window: pd.Timedelta,
+                 num_buckets: int = 64):
     window_ns = int(window / pd.Timedelta(1, "ns"))
 
     def count(g: pd.DataFrame):
@@ -253,7 +259,7 @@ def _range_count(both, key: str, ts: str, window: pd.Timedelta):
         out = out[out["n_pairs"] > 0]
         return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
 
-    return both.groupby("__b").map_groups(count, batch_format="pandas")
+    return both.groupby("__b", num_partitions=bucket_partitions(num_buckets)).map_groups(count, batch_format="pandas")
 
 
 def rolling_sum(ds, key: str, ts: str, val: str, window: pd.Timedelta,
@@ -289,6 +295,6 @@ def rolling_sum(ds, key: str, ts: str, val: str, window: pd.Timedelta,
 
     return (
         ds.map_batches(bucket, batch_format="pandas")
-        .groupby("__b")
+        .groupby("__b", num_partitions=bucket_partitions(num_buckets))
         .map_groups(peak, batch_format="pandas")
     )
