@@ -22,9 +22,10 @@ def _oracle(sql: str) -> pd.DataFrame:
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
-    df = df.sort_values(list(df.columns)).reset_index(drop=True)
-    return df
+    # columns sorted by name, rows kept IN RETURNED ORDER — the driver
+    # hashes rows in order, so sorting rows here would hide ORDER BY
+    # mismatches (bit us in round 1: top_suppliers)
+    return df[sorted(df.columns)].reset_index(drop=True)
 
 
 def _to_df(res) -> pd.DataFrame:
