@@ -104,9 +104,12 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = one(lo)
-    # the hi leg is short and the shared host is noisy: best of two
-    r_hi = min(one(hi), one(hi), key=lambda r: r["value"])
+    # the shared host is noisy (observed +-20% wall variance on BOTH
+    # legs): take best-of-two per leg — min wall is each parallelism
+    # level's capability estimate, and symmetric treatment keeps the
+    # ratio unbiased (best-of on one side only skews the efficiency)
+    r_lo = min((one(lo) for _ in range(2)), key=lambda r: r["value"])
+    r_hi = min((one(hi) for _ in range(2)), key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
