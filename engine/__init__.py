@@ -23,6 +23,13 @@ Layout (SURVEY.md section 7.1):
   engine.dedup       exact / MinHash-LSH / SimHash / n-gram Jaccard dedup
   engine.simsearch   brute-force + LSH-bucketed cosine similarity search
   engine.textstats   lang-id, quality scoring, token counts, fingerprints
+  engine.windows     rolling/as-of/range temporal window operators
+  engine.train       distributed CRF-NLL trainer (structured A8 analog)
+  engine.joins       broadcast + packed bucket joins
+  engine.shuffle     bucket-sized shuffle partition policy
+  engine.multimodal  binary-column media stages (stub decode kernels)
+  engine.sources     CoNLL/lattice/JSONL interchange
+  engine.docjson     reference Doc-shaped JSON emitter
 """
 
 __version__ = "0.1.0"
