@@ -248,7 +248,11 @@ def raw_triples_dataset(path: str, emit: str = "triples",
         batch_size=batch_size,
         concurrency=_pool_size(concurrency),
     )
-    return turns.groupby("bucket").map_groups(
+    # one shuffle partition PER BUCKET: the session default (2xCPU)
+    # leaves half the partitions empty when num_buckets < 2xCPU — pure
+    # aggregator overhead on the heaviest exchange; exact match keeps
+    # every reduce task non-empty at full parallelism
+    return turns.groupby("bucket", num_partitions=num_buckets).map_groups(
         lambda g, emit=emit: _resolve_bucket(g, emit), batch_format="pyarrow"
     )
 
@@ -388,7 +392,7 @@ def canonicalize_and_dedup(triples_ds, num_partitions: int = 16,
     rewritten = triples_ds.map_batches(rewrite, batch_format="pyarrow")
     return (
         rewritten.map_batches(add_tbucket, batch_format="pyarrow")
-        .groupby("tbucket")
+        .groupby("tbucket", num_partitions=64)  # = tbucket key count
         .map_groups(_dedup_partition, batch_format="pyarrow")
     )
 
