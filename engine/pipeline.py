@@ -533,7 +533,8 @@ def run_kg_pipeline(
                          "rows": pa.array([triples.num_rows], pa.int64())})
 
     if len(done) < num_buckets:
-        metrics = turns.groupby("bucket").map_groups(
+        # one partition per conv-hash bucket (see raw_triples_dataset)
+        metrics = turns.groupby("bucket", num_partitions=num_buckets).map_groups(
             resolve_and_write, batch_format="pyarrow"
         )
         stage_a = {r["bucket"]: r["rows"] for r in metrics.iter_rows()}
