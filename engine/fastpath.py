@@ -1,0 +1,408 @@
+"""Vectorized batch implementation of the flagship per-turn KG chain.
+
+Produces, for every transcript turn, EXACTLY the (mentions, relations)
+that ``kgflow.SentenceProcessor`` + ``kg_mentions`` +
+``relation_candidates`` produce (tests/test_fastpath.py asserts literal
+equality against that reference path, which the single-process oracle
+also runs) — but batch-vectorized instead of per-turn Python:
+
+  - ONE regex pass tokenizes the whole batch (texts joined with a
+    sentinel token that the tokenizer isolates; tokens never span the
+    boundary because no token pattern can match across a non-word,
+    non-space, non-apostrophe char).
+  - every per-token quantity (scorer core, digit-normalized forms,
+    gazetteer hits, MD segmentation, relation-phrase flags) is a pure
+    function of the token STRING alone, so it is computed once per
+    distinct token in a persistent registry and fetched by int code.
+    The key enabler: ``md_select(prune_lattice(lattice, multi_labels))``
+    decomposes per token (lattice node ranges never cross tokens,
+    nemo.py:78-114 semantics), and the pruning count equals
+    ``prefix_count(token)``, so the chosen segmentation depends only on
+    the token itself.
+  - the greedy longest-match span scan (GazetteerScorer.find_spans
+    semantics) visits only positions whose token is a gazetteer hit or
+    a multi-word-alias first word; everything else is numpy.
+  - ``soft_merge_bio_labels`` on atoms of the shape O^...^O^TAG reduces
+    to "each token's LAST morpheme carries the token's core tag" in all
+    three length-mismatch cases (nemo.py:117-137); combined with the
+    parse_spans O-abort rule, a multi-token core span survives on the
+    morph axis iff every non-first member token has exactly one
+    morpheme, so multi_align mentions are derived without building
+    label sequences at all (the equality test covers this reduction).
+
+Turns without an apostrophe-fused token take a fast path where
+morph_hybrid == multi_align == one span match over the tokens (the
+analyzer returns every token unchanged and every multi-tag has one
+atom), proven by the same equality test.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .ops.labels import normalize_word
+from .ops.lattice import candidate_segmentations
+from .ops.tokenize import _TOKEN_RE
+from .scorers import RELATIONS, build_gazetteer, prefix_count, token_core
+
+MAX_REL_GAP = 4  # matches kgflow.MAX_REL_GAP
+_SEP = "\x00"  # non-word, non-space -> always its own token (NB: \x1c-\x1f
+# would NOT work: python re counts them as \s, so they never tokenize)
+
+_BOOL_COLS = frozenset((2, 5, 7))  # bif_core, bif_form, relf
+
+
+def _fnv64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def token_md_morphs(token: str) -> tuple[str, ...]:
+    """MD segmentation of one token under the hybrid track: candidates
+    from the analyzer, pruned to paths whose length equals the
+    token-multi scorer's predicted morpheme count (prefix_count), with
+    the keep-all fallback, then md_select's most-split / lex-smallest
+    policy. Pure per-token (see module docstring)."""
+    if "'" not in token:
+        return (token,)
+    cands = candidate_segmentations(token)
+    cnt = prefix_count(token)
+    keep = [c for c in cands if len(c) == cnt] or cands
+    keep.sort()  # lex order of form sequences (md_select path sort)
+    return tuple(max(keep, key=len))  # first among longest
+
+
+class _Registry:
+    """str -> int code with parallel per-code attribute lists (mirrored
+    as numpy arrays for vectorized take). One entry serves both views of
+    a string: as a surface TOKEN (core-stripped scorer view, columns
+    *_core) and as an MD FORM (matched as-is by the morph scorer,
+    columns *_form)."""
+
+    def __init__(self) -> None:
+        gaz, self.max_len = build_gazetteer()
+        self.gaz1 = {k[0]: v for k, v in gaz.items() if len(k) == 1}
+        self.gazN: dict[int, dict[tuple, str]] = {
+            L: {} for L in range(2, self.max_len + 1)}
+        first = set()
+        for k, v in gaz.items():
+            if len(k) >= 2:
+                self.gazN[len(k)][k] = v
+                first.add(k[0])
+        self._first = first
+
+        self.rel_max = max(len(p) for p in RELATIONS)
+        self.rel1 = {p[0]: v for p, v in RELATIONS.items() if len(p) == 1}
+        self.relN: dict[int, dict[tuple, str]] = {
+            L: {} for L in range(2, self.rel_max + 1)}
+        rfirst = set()
+        for p, v in RELATIONS.items():
+            if len(p) >= 2:
+                self.relN[len(p)][p] = v
+                rfirst.add(p[0])
+        self._rfirst = rfirst
+
+        self._codes: dict[str, int] = {}
+        # per-code columns: norm_core, cat_core, bif_core, norm_form,
+        # cat_form, bif_form, lower, relf, rel1, morphs
+        self._cols: list[list] = [[] for _ in range(10)]
+        self._arrays: list[np.ndarray] | None = None
+
+    def _register(self, s: str) -> int:
+        core = token_core(s)
+        nc = normalize_word(core)
+        nf = nc if core == s else normalize_word(s)
+        lo = s.lower()
+        code = len(self._codes)
+        self._codes[s] = code
+        cols = self._cols
+        cols[0].append(nc)
+        cols[1].append(self.gaz1.get(nc))
+        cols[2].append(nc in self._first)
+        cols[3].append(nf)
+        cols[4].append(self.gaz1.get(nf))
+        cols[5].append(nf in self._first)
+        cols[6].append(lo)
+        cols[7].append(lo in self._rfirst)
+        cols[8].append(self.rel1.get(lo))
+        cols[9].append(token_md_morphs(s))
+        self._arrays = None
+        return code
+
+    def encode(self, strs: list[str]) -> np.ndarray:
+        if len(self._codes) > 2_000_000:  # unbounded-vocab backstop
+            self.__init__()
+        get = self._codes.get
+        reg = self._register
+        codes = [c if (c := get(s)) is not None else reg(s) for s in strs]
+        return np.asarray(codes, dtype=np.int64)
+
+    def arrays(self) -> list[np.ndarray]:
+        """numpy mirrors of the per-code columns (rebuilt only after new
+        registrations; vocabulary stabilizes after the first batches)."""
+        if self._arrays is None:
+            self._arrays = [
+                np.array(c, dtype=(bool if i in _BOOL_COLS else object))
+                for i, c in enumerate(self._cols)
+            ]
+        return self._arrays
+
+
+def _greedy_spans(norm: np.ndarray, cat1: np.ndarray, bif: np.ndarray,
+                  row_of: list[int], row_start: list[int],
+                  row_end: list[int], gazN, max_len: int):
+    """find_spans semantics over a flat multi-row stream: greedy longest
+    match, left to right; spans never cross rows. Returns
+    {row: [(local_start, local_end, category)]}."""
+    out: dict[int, list[tuple[int, int, str]]] = {}
+    nf = -1  # absolute next-free position (rows are contiguous)
+    hits = np.flatnonzero(bif | (cat1 != None))  # noqa: E711
+    for pos in hits.tolist():
+        if pos < nf:
+            continue
+        cat = None
+        L = 1
+        if bif[pos]:
+            re_ = row_end[row_of[pos]]
+            for L2 in range(min(max_len, re_ - pos), 1, -1):
+                c = gazN[L2].get(tuple(norm[pos:pos + L2]))
+                if c is not None:
+                    cat, L = c, L2
+                    break
+        if cat is None:
+            cat = cat1[pos]
+            if cat is None:
+                continue
+        r = row_of[pos]
+        s = pos - row_start[r]
+        out.setdefault(r, []).append((s, s + L, cat))
+        nf = pos + L
+    return out
+
+
+def _find_rel(lower: np.ndarray, rel1: np.ndarray, relf: np.ndarray,
+              g0: int, g1: int, relN, rel_max: int):
+    """relation_candidates inner scan: positions left to right, phrases
+    longest-first at each position, phrase must fit inside the gap."""
+    for p in range(g0, g1):
+        if relf[p]:
+            for L2 in range(min(rel_max, g1 - p), 1, -1):
+                pred = relN[L2].get(tuple(lower[p:p + L2]))
+                if pred is not None:
+                    return pred
+        pr = rel1[p]
+        if pr is not None:
+            return pr
+    return None
+
+
+def _tokenize_batch(texts: list[str]):
+    """One regex pass over the joined texts. Returns (flat tokens list,
+    per-row counts)."""
+    if any(_SEP in t for t in texts):  # sentinel collision: rare, exact
+        per_row = [_TOKEN_RE.findall(t) for t in texts]
+        return [t for row in per_row for t in row], [len(r) for r in per_row]
+    toks = _TOKEN_RE.findall(_SEP.join(texts))
+    flat: list[str] = []
+    counts: list[int] = []
+    c = 0
+    for t in toks:
+        if t == _SEP:
+            counts.append(c)
+            c = 0
+        else:
+            flat.append(t)
+            c += 1
+    counts.append(c)
+    return flat, counts
+
+
+class BatchKgExtractor:
+    """Stateful (actor-resident) vectorized extractor. ``extract``
+    returns, per input row, (mentions, rels) in the exact format of
+    kg_mentions / relation_candidates."""
+
+    def __init__(self) -> None:
+        self.reg = _Registry()
+
+    def _rels_for(self, ments, lower, rel1, relf, base: int):
+        reg = self.reg
+        out = []
+        for i in range(len(ments) - 1):
+            end1 = ments[i][3]
+            st2 = ments[i + 1][2]
+            gap = st2 - end1
+            if gap < 1 or gap > MAX_REL_GAP:
+                continue
+            pred = _find_rel(lower, rel1, relf, base + end1, base + st2,
+                             reg.relN, reg.rel_max)
+            if pred is not None:
+                out.append((i, pred, i + 1))
+        return out
+
+    def extract(self, texts: list[str]):
+        n_rows = len(texts)
+        if n_rows == 0:
+            return []
+        reg = self.reg
+        flat, counts = _tokenize_batch(texts)
+        codes = reg.encode(flat)
+        cols = reg.arrays()
+        morphs = cols[9]
+
+        row_start: list[int] = []
+        row_of: list[int] = []
+        s = 0
+        for r, c in enumerate(counts):
+            row_start.append(s)
+            row_of.extend([r] * c)
+            s += c
+        row_end = [a + c for a, c in zip(row_start, counts)]
+
+        spans_a = _greedy_spans(cols[0][codes], cols[1][codes],
+                                cols[2][codes], row_of, row_start, row_end,
+                                reg.gazN, reg.max_len)
+        lo = cols[6][codes]
+        rf = cols[7][codes]
+        r1 = cols[8][codes]
+
+        # slow (apostrophe-bearing) rows: expand every token's memoized
+        # MD morphemes into ONE concatenated form stream, encode + span
+        # match it in a single vectorized pass (morph_hybrid track)
+        slow = ["'" in t for t in texts]
+        forms: list[str] = []
+        s_start: dict[int, int] = {}  # row -> start in the form stream
+        s_lm: dict[int, list[int]] = {}  # row -> per-token last-morph idx
+        s_row_of: list[int] = []
+        s_starts: list[int] = []
+        s_ends: list[int] = []
+        for r in range(n_rows):
+            if not slow[r]:
+                continue
+            s0 = len(forms)
+            lm: list[int] = []
+            for pos in range(row_start[r], row_end[r]):
+                forms.extend(morphs[codes[pos]])
+                lm.append(len(forms) - s0 - 1)
+            sr = len(s_starts)
+            s_start[r] = s0
+            s_lm[r] = lm
+            s_row_of.extend([sr] * (len(forms) - s0))
+            s_starts.append(s0)
+            s_ends.append(len(forms))
+        if forms:
+            fc = reg.encode(forms)
+            fcols = reg.arrays()  # refetch: encode may register new forms
+            spans_b = _greedy_spans(fcols[3][fc], fcols[4][fc],
+                                    fcols[5][fc], s_row_of, s_starts, s_ends,
+                                    reg.gazN, reg.max_len)
+            flo = fcols[6][fc]
+            frf = fcols[7][fc]
+            fr1 = fcols[8][fc]
+        else:
+            spans_b = {}
+
+        results: list[tuple[list, list]] = []
+        sr = -1
+        for r in range(n_rows):
+            rs = row_start[r]
+            if not slow[r]:
+                spans = spans_a.get(r)
+                if not spans:
+                    results.append(([], []))
+                    continue
+                seen: dict[tuple[str, str], int] = {}
+                ments = []
+                for st, en, cat in spans:
+                    surface = " ".join(flat[rs + st:rs + en])
+                    k = (surface, cat)
+                    seen[k] = seen.get(k, 0) + 1
+                    ments.append((surface, cat, st, en, seen[k]))
+                rels = self._rels_for(ments, lo, r1, rf, rs) \
+                    if len(ments) >= 2 else []
+                results.append((ments, rels))
+            else:
+                sr += 1
+                results.append(self._slow_row(
+                    forms, s_start[r], s_lm[r], spans_a.get(r, ()),
+                    spans_b.get(sr, ()), flo, fr1, frf))
+        return results
+
+    def _slow_row(self, forms, s0, last_morph, core_spans, base_spans,
+                  flo, fr1, frf):
+        """Assemble one apostrophe-bearing turn from the two batch span
+        passes: base (morph_hybrid) spans over the MD forms, plus
+        multi_align extras derived from the token-core spans, merged per
+        kg_mentions. base_spans are local to this row; forms/flo/... are
+        the batch-wide stream with this row at offset s0."""
+        base = [(" ".join(forms[s0 + st:s0 + en]), cat, st, en, 0)
+                for st, en, cat in base_spans]
+
+        # multi_align extras: soft-merge puts the token's core tag on its
+        # LAST morpheme and O elsewhere, so (per the parse_spans O-abort
+        # rule) a multi-token core span survives on the morph axis iff
+        # every non-first member token has exactly one morpheme; a
+        # single-token (S) span always survives. occ is recomputed after
+        # the merge, so extras carry a placeholder.
+        extras = []
+        for st, en, cat in core_spans:
+            if en - st == 1:
+                p = last_morph[st]
+                extras.append((forms[s0 + p], cat, p, p + 1, 0))
+            else:
+                if all(last_morph[t] - last_morph[t - 1] == 1
+                       for t in range(st + 1, en)):
+                    lo_, hi = last_morph[st], last_morph[en - 1] + 1
+                    extras.append((" ".join(forms[s0 + lo_:s0 + hi]),
+                                   cat, lo_, hi, 0))
+
+        taken = [(st, en) for _s, _l, st, en, _o in base]
+        merged = list(base)
+        for m in extras:
+            _s, _l, st, en, _o = m
+            if all(en <= bst or st >= ben for bst, ben in taken):
+                merged.append(m)
+        merged.sort(key=lambda m: (m[2], m[3]))
+        seen: dict[tuple[str, str], int] = {}
+        ments = []
+        for surface, label, st, en, _occ in merged:
+            k = (surface, label)
+            seen[k] = seen.get(k, 0) + 1
+            ments.append((surface, label, st, en, seen[k]))
+
+        rels = self._rels_for(ments, flo, fr1, frf, s0) \
+            if len(ments) >= 2 else []
+        return ments, rels
+
+
+def extract_packs(extractor: BatchKgExtractor, batch: pa.Table,
+                  num_buckets: int) -> pa.Table:
+    """KgTurnProcessor.__call__ body: vectorized extract + map-side
+    partition packing (one pickled row per conv-hash bucket)."""
+    import pickle
+
+    texts = batch["text"].to_pylist()
+    conv_ids = batch["conv_id"].to_pylist()
+    turn_idxs = batch["turn_idx"].to_pylist()
+    results = extractor.extract(texts)
+    packs: dict[int, list] = {}
+    for conv_id, turn_idx, (ments, rels) in zip(conv_ids, turn_idxs, results):
+        if not ments:
+            continue
+        h = _fnv64(conv_id)
+        sid = ((h >> 1) & ~0xFFFFF) | (turn_idx & 0xFFFFF)
+        packs.setdefault(h % num_buckets, []).append(
+            (conv_id, turn_idx, sid, ments, rels))
+    buckets = sorted(packs)
+    return pa.table(
+        {
+            "bucket": pa.array(buckets, pa.int32()),
+            "payload": pa.array(
+                [pickle.dumps(packs[b], protocol=5) for b in buckets],
+                pa.binary(),
+            ),
+        }
+    )

@@ -30,8 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .canon import components_auto
-from .kgflow import (SCENARIOS, SentenceProcessor, kg_mentions,
-                     relation_candidates, scenario_mentions)
+from .kgflow import SCENARIOS, SentenceProcessor, scenario_mentions
 from .schema import MENTIONS, TRIPLES, stable_sent_id
 
 def fnv_bucket(s: str, buckets: int) -> int:
@@ -120,46 +119,27 @@ class KgTurnProcessor:
     """Actor stage: transcript turns in, compact per-turn linking rows
     out (only the morph_hybrid scenario is scored — the KG track).
     Output stays small so the conversation reassembly shuffle moves
-    mention-level data, not text/lattices."""
+    mention-level data, not text/lattices.
+
+    The per-turn chain runs batch-vectorized (engine.fastpath: one regex
+    tokenize pass, per-unique-token memoized MD segmentation, numpy span
+    scans) — tests/test_fastpath.py proves literal output equality with
+    the SentenceProcessor reference path the oracle runs. Map-side
+    partition packing: all of a batch's turns for one conv-hash bucket
+    become ONE shuffle row (bucket, pickled list) so the exchange moves
+    ~num_buckets rows per batch instead of one per turn; mention-free
+    turns (roughly a quarter) are dropped BEFORE the shuffle."""
 
     def __init__(self, num_buckets: int = 32) -> None:
-        self.sp = SentenceProcessor()
+        from .fastpath import BatchKgExtractor
+
+        self.ex = BatchKgExtractor()
         self.num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pickle
+        from .fastpath import extract_packs
 
-        # map-side partition packing: all of this batch's turns for one
-        # conv-hash bucket become ONE shuffle row (bucket, pickled list)
-        # — the exchange moves ~num_buckets rows per batch instead of
-        # one row per turn, so its per-row overhead never dominates.
-        packs: dict[int, list] = {}
-        for conv_id, turn_idx, text in zip(
-            batch["conv_id"].to_pylist(),
-            batch["turn_idx"].to_pylist(),
-            batch["text"].to_pylist(),
-        ):
-            rec = self.sp.process(text, levels=("morph_hybrid", "multi_align"))
-            ments = kg_mentions(rec)
-            if not ments:
-                # mention-free turns can't affect the linking walk or
-                # emit triples — drop them BEFORE the reassembly
-                # shuffle (roughly a quarter of all turns)
-                continue
-            rels = relation_candidates(rec["morph_forms"], ments)
-            packs.setdefault(fnv_bucket(conv_id, self.num_buckets), []).append(
-                (conv_id, turn_idx, stable_sent_id(conv_id, turn_idx), ments, rels)
-            )
-        buckets = sorted(packs)
-        return pa.table(
-            {
-                "bucket": pa.array(buckets, pa.int32()),
-                "payload": pa.array(
-                    [pickle.dumps(packs[b], protocol=5) for b in buckets],
-                    pa.binary(),
-                ),
-            }
-        )
+        return extract_packs(self.ex, batch, self.num_buckets)
 
 
 _ENTITY_SCHEMA = pa.schema(
