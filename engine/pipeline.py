@@ -46,6 +46,38 @@ def read_transcripts(path: str):
     return rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
 
 
+def input_meta(path: str) -> dict:
+    """Cheap input fingerprint from parquet FOOTERS only (no data read):
+    file count + total rows. Drives both the auto bucket count and the
+    resume lineage check."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [path]
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    return {"files": len(files), "rows": rows}
+
+
+# ~64k turns per conv-hash bucket keeps the per-bucket unpack+sort list
+# (engine.pipeline._resolve_bucket) bounded regardless of corpus size
+_TARGET_ROWS_PER_BUCKET = 65536
+
+
+def auto_num_buckets(rows: int, cpus: int | None = None) -> int:
+    """Scale the conv-hash bucket count with the corpus: floor 4x CPUs
+    (enough reduce parallelism), target ~64k rows/bucket (bounded
+    per-bucket heap), capped only by a sanity ceiling. At 100x the
+    corpus the bucket count grows 100x instead of the per-bucket heap."""
+    cpus = cpus if cpus is not None else _cpus()
+    want = max(1, (rows + _TARGET_ROWS_PER_BUCKET - 1) // _TARGET_ROWS_PER_BUCKET)
+    return int(min(max(4 * cpus, want), 1 << 20))
+
+
 def _cpus() -> int:
     import ray
 
@@ -216,11 +248,13 @@ def mentions_dataset(path: str, levels: tuple[str, ...] = SCENARIOS,
 
 def raw_triples_dataset(path: str, emit: str = "triples",
                         concurrency: int | None = None, batch_size: int = 2048,
-                        num_buckets: int = 32):
+                        num_buckets: int | None = None):
     """transcripts -> per-turn KG rows (compact blob payloads) ->
     conversation reassembly (ONE groupby keyed on hash(conv_id) bucket;
     conversations never split across buckets) -> linking walk ->
     entity/triple rows (pre-canon)."""
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(input_meta(path)["rows"])
     turns = read_transcripts(path).map_batches(
         KgTurnProcessor,
         fn_constructor_kwargs={"num_buckets": num_buckets},
@@ -314,16 +348,22 @@ def canonicalize_and_dedup(triples_ds, num_partitions: int = 16,
 
     from .link import STATIC_CANON_EDGES, nil_edges, resolve_component_root
 
+    from . import pathlog
+
     if not input_stable:
         triples_ds = triples_ds.materialize()  # consumed twice (keys + rewrite)
     # scale-aware stage B: the pre-triples are already per-bucket
     # pre-deduped, so a vocabulary-sized set runs the reduce driver-side
     # in one pass (same pure functions); large sets stay distributed
     if small_threshold and triples_ds.count() <= small_threshold:
+        pathlog.note("canon_dedup", "driver_local",
+                     n=triples_ds.count(), threshold=small_threshold)
         parts = [t for t in ray.get(triples_ds.to_arrow_refs()) if t.num_rows]
         table = (pa.concat_tables(parts).combine_chunks() if parts
                  else pa.Table.from_pylist([], schema=TRIPLES))
         return rd.from_arrow(local_canonicalize_and_dedup(table))
+
+    pathlog.note("canon_dedup", "distributed", threshold=small_threshold)
 
     def nil_keys_batch(t: pa.Table) -> pa.Table:
         vals = set()
@@ -379,11 +419,13 @@ def canonicalize_and_dedup(triples_ds, num_partitions: int = 16,
 
 def triples_dataset(path: str, concurrency: int | None = None,
                     batch_size: int = 2048, num_partitions: int = 16,
-                    small_threshold: int = 2_000_000):
+                    small_threshold: int = 2_000_000,
+                    num_buckets: int | None = None):
     """Full in-memory (lazy) flagship graph: transcripts -> deduped,
     canonicalized triples Dataset. small_threshold=0 forces the fully
     distributed stage B."""
-    raw = raw_triples_dataset(path, "triples", concurrency, batch_size)
+    raw = raw_triples_dataset(path, "triples", concurrency, batch_size,
+                              num_buckets=num_buckets)
     return canonicalize_and_dedup(raw, num_partitions=num_partitions,
                                   small_threshold=small_threshold)
 
@@ -436,7 +478,14 @@ def _manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "pre_triples", "_manifest")
 
 
-def completed_buckets(out_dir: str) -> set[int]:
+def completed_buckets(out_dir: str, input_path: str | None = None,
+                      fingerprint: dict | None = None,
+                      num_buckets: int | None = None) -> set[int]:
+    """Buckets whose manifest is complete AND matches the CURRENT input
+    lineage (path + footer fingerprint + bucket count). A manifest from
+    a different input / layout is stale, not done — rerunning into an
+    existing out_dir with new data recomputes instead of mixing corpora
+    (SURVEY.md section 7.4 'manifests with input fingerprint')."""
     d = _manifest_dir(out_dir)
     if not os.path.isdir(d):
         return set()
@@ -445,28 +494,62 @@ def completed_buckets(out_dir: str) -> set[int]:
         if name.endswith(".json"):
             with open(os.path.join(d, name)) as f:
                 m = json.load(f)
-            if m.get("complete"):
-                done.add(int(m["bucket"]))
+            if not m.get("complete"):
+                continue
+            if input_path is not None and m.get("input") != input_path:
+                continue
+            if fingerprint is not None and m.get("fingerprint") != fingerprint:
+                continue
+            if num_buckets is not None and m.get("num_buckets") != num_buckets:
+                continue
+            done.add(int(m["bucket"]))
     return done
 
 
 def run_kg_pipeline(
     input_path: str,
     out_dir: str,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     concurrency: int | None = None,
     batch_size: int = 2048,
     num_partitions: int = 16,
 ) -> dict:
     """Checkpointed flagship run. Stage A (heavy, resumable): per-turn
     scoring + conversation resolve, written per conv-hash bucket with a
-    lineage manifest (input path, row counts, complete flag). Stage B
-    (cheap, rerun on resume): global canon + dedup + final partitioned
-    write. Returns run metrics."""
+    lineage manifest (input path + footer fingerprint, row counts,
+    complete flag). Stage B (cheap, rerun on resume): global canon +
+    dedup + final partitioned write. Returns run metrics.
+
+    num_buckets=None derives the bucket count from the input row count
+    (auto_num_buckets): per-bucket work stays bounded as the corpus
+    grows and reduce parallelism scales with it."""
     import ray.data as rd
 
+    from . import pathlog
+
+    meta = input_meta(input_path)
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(meta["rows"])
+        pathlog.note("kg_pipeline", "auto_buckets", rows=meta["rows"],
+                     num_buckets=num_buckets)
     os.makedirs(_manifest_dir(out_dir), exist_ok=True)
-    done = completed_buckets(out_dir)
+    done = completed_buckets(out_dir, input_path, meta, num_buckets)
+    # physically drop STALE checkpoints (manifest exists but lineage
+    # mismatch): stage B reads the whole pre_triples dir, so data from a
+    # different input/bucket-layout must not survive on disk
+    stale = completed_buckets(out_dir) - done
+    if stale:
+        import shutil
+
+        pathlog.note("kg_pipeline", "stale_buckets_dropped",
+                     n=len(stale), input=input_path)
+        for b in stale:
+            shutil.rmtree(os.path.join(out_dir, "pre_triples", f"bucket={b}"),
+                          ignore_errors=True)
+            try:
+                os.remove(os.path.join(_manifest_dir(out_dir), f"bucket-{b}.json"))
+            except FileNotFoundError:
+                pass
 
     def keep(t: pa.Table) -> pa.Table:
         if not done:
@@ -484,13 +567,15 @@ def run_kg_pipeline(
         concurrency=_pool_size(concurrency),
     )
 
-    def resolve_and_write(group: pa.Table, out_dir=out_dir, inp=input_path) -> pa.Table:
+    metrics_schema = pa.schema([("bucket", pa.int64()), ("rows", pa.int64())])
+
+    def resolve_and_write(group: pa.Table, out_dir=out_dir, inp=input_path,
+                          meta=meta, nb=num_buckets) -> pa.Table:
         """Fused stage: ONE shuffle keyed on the conv-hash bucket does
         the conversation reassembly AND the checkpointed write — the
         resolve output never re-shuffles."""
         if group.num_rows == 0:
-            return pa.table({"bucket": pa.array([], pa.int32()),
-                             "rows": pa.array([], pa.int64())})
+            return metrics_schema.empty_table()
         b = group["bucket"][0].as_py()
         triples = _resolve_bucket(group, "triples")
         triples = _batch_prededup(triples)  # combiner before stage B
@@ -502,15 +587,17 @@ def run_kg_pipeline(
 
         pq.write_table(triples, tmp)
         os.replace(tmp, final)  # atomic
-        man = {"bucket": b, "input": inp, "pack_rows": group.num_rows,
+        man = {"bucket": b, "input": inp, "fingerprint": meta,
+               "num_buckets": nb, "pack_rows": group.num_rows,
                "triple_rows": triples.num_rows, "complete": True}
         mtmp = os.path.join(_manifest_dir(out_dir), f"bucket-{b}.json.tmp")
         mfin = os.path.join(_manifest_dir(out_dir), f"bucket-{b}.json")
         with open(mtmp, "w") as f:
             json.dump(man, f)
         os.replace(mtmp, mfin)
-        return pa.table({"bucket": [b],
-                         "rows": pa.array([triples.num_rows], pa.int64())})
+        return pa.table({"bucket": pa.array([b], pa.int64()),
+                         "rows": pa.array([triples.num_rows], pa.int64())},
+                        schema=metrics_schema)
 
     if len(done) < num_buckets:
         # one partition per conv-hash bucket (see raw_triples_dataset)
@@ -529,6 +616,11 @@ def run_kg_pipeline(
     final_dir = os.path.join(out_dir, "triples")
     final_ds = final_ds.materialize()
     n = final_ds.count()
+    # stage B rebuilds the full graph every run; write_parquet APPENDS
+    # into an existing dir, so clear any previous run's files first
+    import shutil as _shutil
+
+    _shutil.rmtree(final_dir, ignore_errors=True)
     final_ds.write_parquet(final_dir)
     with open(os.path.join(out_dir, "run_manifest.json"), "w") as f:
         json.dump(

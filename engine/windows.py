@@ -54,6 +54,46 @@ def _composite_axis(key_codes: np.ndarray, ts_ns: np.ndarray,
     return key_codes.astype(np.int64) * span + off + np.int64(window_ns) + np.int64(1), span
 
 
+def _axis_fits(key_codes: np.ndarray, ts_ns: np.ndarray,
+               window_ns: int) -> bool:
+    """The composite axis silently WRAPS int64 once
+    (max_code + 1) * span reaches 2^63 (e.g. ~3500 keys/bucket over a
+    30-day span; ADVICE r2). Headroom-checked in Python ints (no wrap),
+    against 2^62 for margin."""
+    if not len(key_codes):
+        return True
+    span = int(ts_ns.max()) - int(ts_ns.min()) + int(window_ns) + 2
+    return (int(key_codes.max()) + 1) * span < (1 << 62)
+
+
+def _window_bounds_sorted(codes: np.ndarray, ts_ns: np.ndarray,
+                          window_ns: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row trailing RANGE-frame bounds [lo, hi) as absolute row
+    indices, for rows sorted by (key, ts): composite-axis searchsorted
+    on the fast path, per-key-segment searchsorted when the axis would
+    overflow (few big segments -> the segment loop is cheap; correctness
+    never depends on the axis fitting)."""
+    if _axis_fits(codes, ts_ns, window_ns):
+        axis, _ = _composite_axis(codes, ts_ns, window_ns)
+        lo = np.searchsorted(axis, axis - np.int64(window_ns), side="left")
+        hi = np.searchsorted(axis, axis, side="right")
+        return lo, hi
+    from . import pathlog
+
+    pathlog.note("windows", "segment_fallback", rows=len(codes),
+                 n_keys=int(codes.max()) + 1 if len(codes) else 0)
+    lo = np.empty(len(codes), np.int64)
+    hi = np.empty(len(codes), np.int64)
+    starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+    ends = np.r_[starts[1:], len(codes)]
+    w = np.int64(window_ns)
+    for s, e in zip(starts, ends):
+        seg = ts_ns[s:e]
+        lo[s:e] = s + np.searchsorted(seg, seg - w, side="left")
+        hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+    return lo, hi
+
+
 def rolling_count(ds, key: str, ts: str, window: pd.Timedelta,
                   num_buckets: int = 64):
     """Per-row trailing-window event count, aggregated to
@@ -70,9 +110,7 @@ def rolling_count(ds, key: str, ts: str, window: pd.Timedelta,
     def peak(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, ts], kind="mergesort")
         codes = g[key].factorize(sort=False)[0]
-        axis, _ = _composite_axis(codes, _ts_ns(g[ts]), window_ns)
-        lo = np.searchsorted(axis, axis - np.int64(window_ns), side="left")
-        hi = np.searchsorted(axis, axis, side="right")  # include equal-ts peers
+        lo, hi = _window_bounds_sorted(codes, _ts_ns(g[ts]), window_ns)
         g = g.assign(__c=hi - lo)
         return g.groupby(key, as_index=False).agg(
             peak=("__c", "max"), n_events=("__c", "size")
@@ -247,13 +285,42 @@ def _range_count(both, key: str, ts: str, window: pd.Timedelta,
         is_l = (g["__side"] == "l").to_numpy()
         if not is_l.any() or is_l.all():
             return schema.empty_table()
-        axis_all, _ = _composite_axis(codes, _ts_ns(g[ts]), window_ns)
-        r_axis = np.sort(axis_all[~is_l])
-        l_axis = axis_all[is_l]
-        n = (
-            np.searchsorted(r_axis, l_axis, side="right")
-            - np.searchsorted(r_axis, l_axis - np.int64(window_ns), side="left")
-        )
+        ts_all = _ts_ns(g[ts])
+        if _axis_fits(codes, ts_all, window_ns):
+            axis_all, _ = _composite_axis(codes, ts_all, window_ns)
+            r_axis = np.sort(axis_all[~is_l])
+            l_axis = axis_all[is_l]
+            n = (
+                np.searchsorted(r_axis, l_axis, side="right")
+                - np.searchsorted(r_axis, l_axis - np.int64(window_ns),
+                                  side="left")
+            )
+        else:
+            # overflow-safe fallback (ADVICE r2): sort by (key, ts) and
+            # count per key SEGMENT against its own sorted r slice
+            from . import pathlog
+
+            pathlog.note("windows", "segment_fallback_range",
+                         rows=len(codes), n_keys=int(codes.max()) + 1)
+            order = np.lexsort((ts_all, codes))
+            oc, ot, ol = codes[order], ts_all[order], is_l[order]
+            cnt_sorted = np.zeros(len(oc), np.int64)
+            starts = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1]])
+            ends = np.r_[starts[1:], len(oc)]
+            w = np.int64(window_ns)
+            for s, e in zip(starts, ends):
+                lm = ol[s:e]
+                if not lm.any():
+                    continue
+                r_ts = ot[s:e][~lm]
+                l_ts = ot[s:e][lm]
+                cnt_sorted[np.arange(s, e)[lm]] = (
+                    np.searchsorted(r_ts, l_ts, side="right")
+                    - np.searchsorted(r_ts, l_ts - w, side="left")
+                )
+            cnt = np.zeros(len(oc), np.int64)
+            cnt[order] = cnt_sorted
+            n = cnt[is_l]
         out = pd.DataFrame({key: g[key].to_numpy()[is_l], "n_pairs": n})
         out = out.groupby(key, as_index=False)["n_pairs"].sum()
         out = out[out["n_pairs"] > 0]
@@ -284,9 +351,7 @@ def rolling_sum(ds, key: str, ts: str, val: str, window: pd.Timedelta,
     def peak(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, ts], kind="mergesort")
         codes = g[key].factorize(sort=False)[0]
-        axis, _ = _composite_axis(codes, _ts_ns(g[ts]), window_ns)
-        lo = np.searchsorted(axis, axis - np.int64(window_ns), side="left")
-        hi = np.searchsorted(axis, axis, side="right")
+        lo, hi = _window_bounds_sorted(codes, _ts_ns(g[ts]), window_ns)
         pref = np.concatenate([[0], np.cumsum(g[val].to_numpy())])
         g = g.assign(__s=pref[hi] - pref[lo])
         return g.groupby(key, as_index=False).agg(

@@ -112,3 +112,57 @@ def test_resume_from_manifests(ray_session, tiny_transcripts, oracle_out, tmp_pa
     p, r, _ = evaluate_tables(oracle_out["triples"], final, TRIPLE_KEYS)
     assert (p, r) == (1.0, 1.0)
     assert final.num_rows == oracle_out["triples"].num_rows
+
+
+def test_resume_invalidates_on_input_change(ray_session, tiny_transcripts,
+                                            oracle_out, tmp_path):
+    """Rerunning into an existing out_dir with a DIFFERENT input must
+    recompute: manifests from the old input are stale, not done
+    (VERDICT r2 'What's wrong' #1)."""
+    import ray.data as rd
+
+    from engine.pipeline import completed_buckets, input_meta, run_kg_pipeline
+
+    path, table = tiny_transcripts
+    out = str(tmp_path / "out")
+
+    # first run over a TRUNCATED copy of the corpus
+    small_dir = str(tmp_path / "small_input")
+    os.makedirs(small_dir)
+    pq.write_table(table.slice(0, max(1, table.num_rows // 3)),
+                   os.path.join(small_dir, "part.parquet"))
+    m1 = run_kg_pipeline(small_dir, out, num_buckets=8, batch_size=64)
+    assert completed_buckets(out, small_dir, input_meta(small_dir), 8)
+
+    # second run, SAME out_dir, full corpus: nothing may be resumed
+    m2 = run_kg_pipeline(path, out, num_buckets=8, batch_size=64)
+    assert m2["resumed_buckets"] == []
+
+    final = _ds_to_table(rd.read_parquet(os.path.join(out, "triples")))
+    p, r, _ = evaluate_tables(oracle_out["triples"], final, TRIPLE_KEYS)
+    assert (p, r) == (1.0, 1.0), "stale buckets leaked into the final graph"
+    assert final.num_rows == oracle_out["triples"].num_rows
+
+
+def test_many_buckets_stays_green(ray_session, tiny_transcripts, oracle_out,
+                                  tmp_path):
+    """num_buckets >> default: the bucket count is a pure partitioning
+    knob — results identical (VERDICT r2 'Next round' #2)."""
+    import ray.data as rd
+
+    from engine.pipeline import auto_num_buckets, run_kg_pipeline
+
+    # auto sizing: floor 4x cpus, grows ~rows/64k, sane cap
+    assert auto_num_buckets(1_000, cpus=4) == 16
+    assert auto_num_buckets(8_200_000, cpus=32) == 128
+    # 1e10 rows -> ~64k rows per bucket; the 2^20 ceiling kicks in later
+    assert auto_num_buckets(10_000_000_000, cpus=32) == 152588
+    assert auto_num_buckets(100_000_000_000_000, cpus=32) == 1 << 20
+
+    path, _ = tiny_transcripts
+    out = str(tmp_path / "many")
+    run_kg_pipeline(path, out, num_buckets=101, batch_size=64)
+    final = _ds_to_table(rd.read_parquet(os.path.join(out, "triples")))
+    p, r, _ = evaluate_tables(oracle_out["triples"], final, TRIPLE_KEYS)
+    assert (p, r) == (1.0, 1.0)
+    assert final.num_rows == oracle_out["triples"].num_rows

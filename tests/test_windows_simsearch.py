@@ -224,3 +224,80 @@ def test_embed_dup_clusters_match_local_uf(ray_session):
     exp = {v: int(find(v)) for v in set(p["vec_a"]) | set(p["vec_b"])}
     got = dict(zip(c["vec_id"], c["cluster_id"]))
     assert got == exp and len(got) > 0
+
+
+def test_window_bounds_overflow_fallback():
+    """(max_code+1) * span >= 2^62 forces the per-segment path; bounds
+    must equal the composite-axis answer computed on a SAFE subset and a
+    brute-force reference on the full set (ADVICE r2: int64 wrap)."""
+    from engine import pathlog
+    from engine.windows import _axis_fits, _window_bounds_sorted
+
+    rng = np.random.default_rng(7)
+    n_keys, per_key = 60, 25
+    w = int(pd.Timedelta(hours=1) / pd.Timedelta(1, "ns"))
+    # ~10-year span in ns: 60 keys x 3.2e17 ns >> 2^62
+    ts, codes = [], []
+    for k in range(n_keys):
+        t = np.sort(rng.integers(0, int(3.15e17), size=per_key))
+        ts.extend(t.tolist())
+        codes.extend([k] * per_key)
+    codes = np.asarray(codes, np.int64)
+    ts = np.asarray(ts, np.int64)
+    assert not _axis_fits(codes, ts, w)
+
+    pathlog.reset()
+    lo, hi = _window_bounds_sorted(codes, ts, w)
+    assert pathlog.count("windows", "segment_fallback") == 1
+
+    # brute force per row
+    for i in rng.choice(len(ts), size=200, replace=False):
+        seg = codes == codes[i]
+        exp_lo = np.flatnonzero(seg & (ts >= ts[i] - w)).min()
+        exp_hi = np.flatnonzero(seg & (ts <= ts[i])).max() + 1
+        assert (lo[i], hi[i]) == (exp_lo, exp_hi), i
+
+    # safe-scale equivalence: same codes, compressed span -> fast path
+    ts_small = ts % (1 << 40)
+    order = np.lexsort((ts_small, codes))
+    ts_small, codes_small = ts_small[order], codes[order]
+    assert _axis_fits(codes_small, ts_small, w)
+    lo_f, hi_f = _window_bounds_sorted(codes_small, ts_small, w)
+    # compare against brute force again (fast path correctness anchor)
+    for i in rng.choice(len(ts_small), size=100, replace=False):
+        seg = codes_small == codes_small[i]
+        exp_lo = np.flatnonzero(seg & (ts_small >= ts_small[i] - w)).min()
+        exp_hi = np.flatnonzero(seg & (ts_small <= ts_small[i])).max() + 1
+        assert (lo_f[i], hi_f[i]) == (exp_lo, exp_hi), i
+
+
+def test_cosine_pairs_blocked_matches_exact(ray_session):
+    """small_threshold=0 forces the LSH-blocked scale path (no driver
+    gather); on a crisp near-dup corpus (planted pairs at cosine ~0.999,
+    background pairs far below threshold) the blocked result equals the
+    exact all-pairs answer — miss odds ~1e-8 at H=8, L=16 (MultiLsh
+    docstring), and the planes are seeded so the run is deterministic."""
+    from engine import pathlog
+    from engine.simsearch import cosine_pairs
+
+    df, m = _vecs(n=300, d=16, seed=23)
+    pathlog.reset()
+    got = (
+        cosine_pairs(rd.from_pandas(df), threshold=0.98, small_threshold=0)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    assert pathlog.count("cosine_pairs", "lsh_blocked") == 1
+
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    iu = np.triu_indices(len(m), k=1)
+    mask = sims[iu] >= 0.98
+    exp = set(zip(iu[0][mask], iu[1][mask]))
+    assert set(zip(got["vec_a"], got["vec_b"])) == exp
+    assert len(exp) >= 10
+    # scores are the exact cosine, not an approximation
+    exp_scores = {(a, b): sims[a, b] for a, b in exp}
+    for a, b, s in zip(got["vec_a"], got["vec_b"], got["score"]):
+        assert abs(exp_scores[(a, b)] - s) < 1e-12
