@@ -305,7 +305,60 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = f.user_id
              AND a.w = f.cohort + INTERVAL 7 DAY
             GROUP BY 1 ORDER BY 1""",
+        # Transitive-closure cluster oracles (VERDICT r2 ask #6):
+        # DuckDB recursive CTE computes connected components over the
+        # EXACT edge predicate (all-pairs threshold test) — the engine's
+        # LSH-candidate + exact-verify path must agree because at these
+        # duplicate profiles candidate recall is 1 (validated rows+hash
+        # at sf0.001 and sf0.01 before being promoted to oracles).
+        "embed_dup_clusters": """
+            WITH RECURSIVE e AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+                WHERE list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) >= 0.425
+            ),
+            r AS (
+                SELECT src AS node, src AS reach FROM e
+                UNION
+                SELECT r.node, e.dst FROM r JOIN e ON e.src = r.reach
+            )
+            SELECT node AS vec_id, MIN(reach) AS cluster_id
+            FROM r GROUP BY 1 ORDER BY 1""",
+        "minhash_dup_clusters": """
+            WITH RECURSIVE g AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3 THEN []
+                            ELSE list_distinct(list_transform(
+                                generate_series(1, len(w) - 2),
+                                i -> w[i] || chr(31) || w[i+1]
+                                     || chr(31) || w[i+2]))
+                       END AS gr
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                      FROM documents)),
+            e0 AS (
+                -- length-ratio prefilter: jaccard >= 0.6 needs
+                -- 5*min(|a|,|b|) >= 3*max(|a|,|b|); skips list_intersect
+                -- on most of the n^2 pairs
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM g a JOIN g b ON b.doc_id <> a.doc_id
+                 AND 5 * least(len(a.gr), len(b.gr))
+                     >= 3 * greatest(len(a.gr), len(b.gr))
+                WHERE CASE WHEN len(a.gr) + len(b.gr) = 0 THEN TRUE
+                      ELSE 5 * len(list_intersect(a.gr, b.gr))
+                           >= 3 * (len(a.gr) + len(b.gr)
+                                   - len(list_intersect(a.gr, b.gr)))
+                      END
+            ),
+            r AS (
+                SELECT src AS node, src AS reach FROM e0
+                UNION
+                SELECT r.node, e0.dst FROM r JOIN e0 ON e0.src = r.reach
+            )
+            SELECT node AS doc_id, MIN(reach) AS cluster_id
+            FROM r GROUP BY 1 ORDER BY 1""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
-        # minhash_dup_clusters, simhash_docs, lang_id_docs,
-        # fingerprint_docs, kg_triples, kg_mentions_all, kg_top_entities
+        # simhash_docs, lang_id_docs, fingerprint_docs, kg_triples,
+        # kg_mentions_all, kg_top_entities
     }
