@@ -180,6 +180,81 @@ def concat_context_features(emb: np.ndarray, ids: np.ndarray,
     return np.concatenate([left, x, right], axis=2)
 
 
+class CharNgramFeaturizer:
+    """Hashed char n-gram analog of the reference's CharCNN
+    (model/charcnn.py:12-74): per word, boundary-marked char n-grams
+    index a seeded embedding table via the hashing trick (no char
+    vocabulary to ship), and max-pool over the grams — the CNN's
+    max-pool over conv positions. Deterministic given (seed, n,
+    n_buckets), so every actor replica builds identical features."""
+
+    def __init__(self, char_dim: int = 16, n: int = 3,
+                 n_buckets: int = 4096, seed: int = 13) -> None:
+        rng = np.random.default_rng(seed)
+        self.table = rng.standard_normal((n_buckets, char_dim)) \
+            / np.sqrt(char_dim)
+        self.n = n
+        self.n_buckets = n_buckets
+        self.char_dim = char_dim
+        self._cache: dict[str, np.ndarray] = {}
+
+    def word_vec(self, word: str) -> np.ndarray:
+        v = self._cache.get(word)
+        if v is None:
+            from .textstats import Fingerprinter
+
+            s = f"<{word}>"
+            n = self.n
+            grams = ([s[i : i + n] for i in range(len(s) - n + 1)]
+                     if len(s) >= n else [s])
+            idx = [Fingerprinter.fnv64(g) % self.n_buckets for g in grams]
+            v = self._cache[word] = self.table[idx].max(axis=0)
+        return v
+
+    def matrix(self, alphabet: Alphabet) -> np.ndarray:
+        """(vocab_size, char_dim) rows aligned to the alphabet; row 0
+        (padding) stays zero. Concatenate onto the word-embedding
+        matrix so every window feature map (mean-pooled or concat)
+        carries char-level signal with no emission-model changes."""
+        out = np.zeros((alphabet.size(), self.char_dim), dtype=np.float64)
+        for idx in range(1, alphabet.size()):
+            w = alphabet.get_instance(idx)
+            if w is not None:
+                out[idx] = self.word_vec(w)
+        return out
+
+
+class FeatureEmbedder:
+    """The reference's extra-feature-column surface (utils/data.py:
+    187-213 feature alphabets, utils/functions.py:110-117 feature
+    embedding build): a CLOSED feature alphabet (e.g. '[POS]NOUN'
+    values) with a seeded embedding table; per-token feature strings
+    encode to table rows, unseen values fall back to the </unk> row,
+    padding row 0 is zero."""
+
+    def __init__(self, values: list[str], feat_dim: int = 8,
+                 seed: int = 17) -> None:
+        self.alpha = Alphabet("feature")
+        for v in values:
+            self.alpha.add(v)
+        self.alpha.close()
+        rng = np.random.default_rng(seed)
+        self.table = rng.standard_normal((self.alpha.size(), feat_dim)) \
+            / np.sqrt(feat_dim)
+        self.table[0] = 0.0
+        self.feat_dim = feat_dim
+
+    def encode_pad(self, feature_lists: list[list[str]], S: int) -> np.ndarray:
+        ids = np.zeros((len(feature_lists), S), dtype=np.int64)
+        for i, fs in enumerate(feature_lists):
+            for j, f in enumerate(fs[:S]):
+                ids[i, j] = self.alpha.get_index(f)
+        return ids
+
+    def features(self, feature_lists: list[list[str]], S: int) -> np.ndarray:
+        return self.table[self.encode_pad(feature_lists, S)]  # (B, S, fd)
+
+
 class LinearConcatEmissions:
     """Emission model over concat_context_features — the serving slot
     for weights learned by engine.train.train_crf (W: (3d, n_tags))."""
@@ -189,8 +264,11 @@ class LinearConcatEmissions:
         self.W = W
         self.b = b
 
-    def __call__(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    def __call__(self, ids: np.ndarray, mask: np.ndarray,
+                 extra: np.ndarray | None = None) -> np.ndarray:
         ctx = concat_context_features(self.emb, ids, mask)
+        if extra is not None:
+            ctx = np.concatenate([ctx, extra], axis=2)
         return (ctx @ self.W + self.b) * mask[:, :, None]
 
 
@@ -200,15 +278,19 @@ class SeededLinearEmissions:
     the "BiLSTM slot" (model/wordsequence.py:14-112 in the reference):
     any callable (ids_padded, mask) -> (batch, seq, n_tags) fits."""
 
-    def __init__(self, emb: np.ndarray, n_tags: int, seed: int = 7) -> None:
+    def __init__(self, emb: np.ndarray, n_tags: int, seed: int = 7,
+                 extra_dim: int = 0) -> None:
         rng = np.random.default_rng(seed)
-        d = emb.shape[1]
+        d = emb.shape[1] + extra_dim
         self.emb = emb
         self.W = rng.standard_normal((d, n_tags)) / np.sqrt(d)
         self.b = rng.standard_normal(n_tags) * 0.01
 
-    def __call__(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    def __call__(self, ids: np.ndarray, mask: np.ndarray,
+                 extra: np.ndarray | None = None) -> np.ndarray:
         ctx = context_features(self.emb, ids, mask)
+        if extra is not None:
+            ctx = np.concatenate([ctx, extra], axis=2)
         feats = ctx @ self.W + self.b                   # (B, S, n_tags)
         return feats * mask[:, :, None]
 
@@ -296,15 +378,28 @@ class NcrfScorer:
 
     def __init__(self, word_alphabet: Alphabet | None = None,
                  embedding_path: str | None = None, embedd_dim: int = 32,
-                 seed: int = 42) -> None:
+                 seed: int = 42, use_char: bool = False, char_dim: int = 16,
+                 char_seed: int = 13,
+                 feature_values: list[str] | None = None,
+                 feat_dim: int = 8) -> None:
         self.alpha = word_alphabet or Alphabet("word")
         self.alpha.close()  # ids must stay within the embedding matrix
         self.emb, dim, self.emb_stats = build_pretrain_embedding(
             embedding_path, self.alpha, embedd_dim, seed=seed)
+        if use_char:
+            # char-level signal rides the embedding matrix itself
+            # (CharCNN analog, model/charcnn.py:12-74): every window
+            # feature map downstream carries it unchanged
+            ch = CharNgramFeaturizer(char_dim=char_dim, seed=char_seed)
+            self.emb = np.concatenate([self.emb, ch.matrix(self.alpha)],
+                                      axis=1)
+        self.featurizer = (FeatureEmbedder(feature_values, feat_dim)
+                           if feature_values else None)
         self.tags = biose_tagset(self.CATEGORIES)
         self.transitions = constrained_transitions(self.tags)
-        self.emissions = SeededLinearEmissions(self.emb, len(self.tags),
-                                               seed=seed + 1)
+        self.emissions = SeededLinearEmissions(
+            self.emb, len(self.tags), seed=seed + 1,
+            extra_dim=self.featurizer.feat_dim if self.featurizer else 0)
 
     def _encode_pad(self, token_lists: list[list[str]]
                     ) -> tuple[np.ndarray, np.ndarray]:
@@ -316,33 +411,48 @@ class NcrfScorer:
             padded[i, : len(s)] = s
         return padded, lengths
 
-    def label_batch(self, token_lists: list[list[str]]) -> list[list[str]]:
+    def label_batch(self, token_lists: list[list[str]],
+                    feature_lists: list[list[str]] | None = None
+                    ) -> list[list[str]]:
         """Length-sorted padded decode, original order restored —
         batchify_with_label/recover semantics (utils/data.py,
-        ncrf_main.py:252-268)."""
+        ncrf_main.py:252-268). `feature_lists` (optional, parallel to
+        `token_lists`) is the [POS]word extra-feature surface."""
         if not token_lists:
             return []
         order = np.argsort([-len(t) for t in token_lists], kind="stable")
         sorted_lists = [token_lists[i] for i in order]
         padded, lengths = self._encode_pad(sorted_lists)
         mask = (np.arange(padded.shape[1])[None, :] < lengths[:, None])
-        feats = self.emissions(padded, mask.astype(np.float64))
+        extra = None
+        if self.featurizer is not None and feature_lists is not None:
+            extra = self.featurizer.features(
+                [feature_lists[i] for i in order], padded.shape[1])
+        feats = self.emissions(padded, mask.astype(np.float64), extra)
         paths = viterbi_batch(feats, lengths, self.transitions)
         restored: list[list[str]] = [[] for _ in token_lists]
         for pos, i in enumerate(order):
             restored[i] = [self.tags[j] for j in paths[pos]]
         return restored
 
-    def label(self, tokens: list[str]) -> list[str]:
-        return self.label_batch([tokens])[0] if tokens else []
+    def label(self, tokens: list[str],
+              features: list[str] | None = None) -> list[str]:
+        if not tokens:
+            return []
+        return self.label_batch(
+            [tokens], [features] if features is not None else None)[0]
 
-    def label_nbest(self, tokens: list[str], n: int = 3
+    def label_nbest(self, tokens: list[str], n: int = 3,
+                    features: list[str] | None = None
                     ) -> list[tuple[list[str], float]]:
         if not tokens:
             return []
         padded, lengths = self._encode_pad([tokens])
         mask = (np.arange(padded.shape[1])[None, :] < lengths[:, None])
-        feats = self.emissions(padded, mask.astype(np.float64))[0]
+        extra = None
+        if self.featurizer is not None and features is not None:
+            extra = self.featurizer.features([features], padded.shape[1])
+        feats = self.emissions(padded, mask.astype(np.float64), extra)[0]
         out = viterbi_nbest(feats, int(lengths[0]), self.transitions, n)
         return [([self.tags[j] for j in p], round(s, 6)) for p, s in out]
 
@@ -358,7 +468,11 @@ class NcrfStage:
                  alphabet_json: str | None = None,
                  embedding_path: str | None = None, embedd_dim: int = 32,
                  seed: int = 42, tokens_col: str = "tokens",
-                 out_col: str = "labels") -> None:
+                 out_col: str = "labels", use_char: bool = False,
+                 char_dim: int = 16,
+                 feature_values: list[str] | None = None,
+                 feat_dim: int = 8,
+                 features_col: str | None = None) -> None:
         if alphabet_json is not None:
             alpha = Alphabet.from_json(alphabet_json)
         else:
@@ -367,14 +481,21 @@ class NcrfStage:
                 alpha.add(w)
         self.sc = NcrfScorer(word_alphabet=alpha,
                              embedding_path=embedding_path,
-                             embedd_dim=embedd_dim, seed=seed)
+                             embedd_dim=embedd_dim, seed=seed,
+                             use_char=use_char, char_dim=char_dim,
+                             feature_values=feature_values,
+                             feat_dim=feat_dim)
         self.tokens_col = tokens_col
         self.out_col = out_col
+        self.features_col = features_col
 
     def __call__(self, df):
         df = df.copy()
+        feats = None
+        if self.features_col is not None and self.features_col in df:
+            feats = [list(f) for f in df[self.features_col]]
         df[self.out_col] = self.sc.label_batch(
-            [list(t) for t in df[self.tokens_col]])
+            [list(t) for t in df[self.tokens_col]], feats)
         return df
 
 

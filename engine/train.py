@@ -183,11 +183,15 @@ def train_crf(ds, alphabet_json: str, tokens_col: str = "tokens",
               gold_col: str = "gold", embedd_dim: int = 64,
               epochs: int = 12, lr: float = 1.0, seed: int = 42,
               categories: tuple[str, ...] = NcrfScorer.CATEGORIES,
-              concurrency: int = 4):
+              concurrency: int = 4, use_char: bool = False,
+              char_dim: int = 16, char_seed: int = 13):
     """Synchronous distributed CRF-NLL training with Adagrad.
 
-    Returns ((W, b, T), history): W is (3*embedd_dim, n_tags) over the
-    concat window features; history has one row per epoch with
+    Returns ((W, b, T), history): W is (3*d_eff, n_tags) over the
+    concat window features, d_eff = embedd_dim (+char_dim with
+    use_char — hashed char n-gram rows concatenated onto the embedding
+    matrix, the CharCNN analog, so gradients stay exact w.r.t. the
+    augmented features); history has one row per epoch with
     (epoch, n_tokens, n_errors, token_acc, nll) measured with the
     weights at the START of the epoch — epoch 0 is the init, the last
     row shows the learned state."""
@@ -196,10 +200,15 @@ def train_crf(ds, alphabet_json: str, tokens_col: str = "tokens",
     alpha = Alphabet.from_json(alphabet_json)
     alpha.close()
     emb, _, _ = build_pretrain_embedding(None, alpha, embedd_dim, seed=seed)
+    if use_char:
+        from .ncrf import CharNgramFeaturizer
+
+        ch = CharNgramFeaturizer(char_dim=char_dim, seed=char_seed)
+        emb = np.concatenate([emb, ch.matrix(alpha)], axis=1)
     tags = biose_tagset(categories)
     tag_index = {t: i for i, t in enumerate(tags)}
     n = len(tags)
-    W = np.zeros((3 * embedd_dim, n))
+    W = np.zeros((3 * emb.shape[1], n))
     b = np.zeros(n)
     T = constrained_transitions(tags)
     forbid_mask = T <= _FORBID + 1  # structural zeros stay forbidden
@@ -256,16 +265,20 @@ def train_crf(ds, alphabet_json: str, tokens_col: str = "tokens",
 
 def trained_scorer(alphabet_json: str, weights, embedd_dim: int = 64,
                    seed: int = 42,
-                   categories: tuple[str, ...] = NcrfScorer.CATEGORIES
-                   ) -> NcrfScorer:
+                   categories: tuple[str, ...] = NcrfScorer.CATEGORIES,
+                   use_char: bool = False, char_dim: int = 16,
+                   char_seed: int = 13) -> NcrfScorer:
     """NcrfScorer wired with trained (W, b, T) — the decode path
     (Viterbi, n-best, batching) is unchanged, proving trained weights
-    drop straight into the serving stage."""
+    drop straight into the serving stage. use_char/char_dim/char_seed
+    must match the train_crf call so the augmented embedding matrix
+    (and hence W's input dim) is identical."""
     from .ncrf import LinearConcatEmissions
 
     W, b, T = weights
     sc = NcrfScorer(word_alphabet=Alphabet.from_json(alphabet_json),
-                    embedd_dim=embedd_dim, seed=seed)
+                    embedd_dim=embedd_dim, seed=seed, use_char=use_char,
+                    char_dim=char_dim, char_seed=char_seed)
     sc.emissions = LinearConcatEmissions(sc.emb, W, b)
     sc.transitions = T
     return sc

@@ -158,3 +158,123 @@ def test_scorer_on_actor_pool(ray_session):
     even = {tuple(l) for l in out[out.sent_id % 2 == 0]["labels"]}
     odd = {tuple(l) for l in out[out.sent_id % 2 == 1]["labels"]}
     assert len(even) == 1 and len(odd) == 1
+
+
+def test_char_featurizer_matrix_and_ngram_signal():
+    """CharCNN analog (model/charcnn.py:12-74 semantics): hashed char
+    n-gram embeddings, max-pooled per word. Shared n-grams pull word
+    vectors together; the padding row stays zero; building twice with
+    one seed is byte-identical."""
+    from engine.ncrf import CharNgramFeaturizer
+
+    f1 = CharNgramFeaturizer(char_dim=16, seed=13)
+    f2 = CharNgramFeaturizer(char_dim=16, seed=13)
+    alpha = _tiny_alphabet(["walking", "walked", "Paris"])
+    m1, m2 = f1.matrix(alpha), f2.matrix(alpha)
+    assert m1.shape == (alpha.size(), 16)
+    assert np.array_equal(m1, m2)
+    assert np.allclose(m1[0], 0.0)  # padding row
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    va = f1.word_vec("walking")
+    vb = f1.word_vec("walked")   # shares <wa, wal, alk n-grams
+    vc = f1.word_vec("Paris")    # disjoint n-grams
+    assert cos(va, vb) > cos(va, vc)
+
+
+def test_scorer_char_features_deterministic_and_consistent():
+    """use_char widens the embedding matrix (word ⊕ char rows) without
+    touching the CRF: decode stays valid BIOSE, batch == single-decode,
+    replicas built from the same config are identical, and the char
+    signal actually changes the emissions vs the word-only scorer."""
+    from engine.ncrf import NcrfScorer
+    from engine.ops.labels import validate_biose_sequence
+
+    words = ["Alice", "met", "Bob", "in", "Paris"]
+    sc = NcrfScorer(word_alphabet=_tiny_alphabet(words), embedd_dim=8,
+                    seed=11, use_char=True, char_dim=8)
+    sc2 = NcrfScorer(word_alphabet=_tiny_alphabet(words), embedd_dim=8,
+                     seed=11, use_char=True, char_dim=8)
+    base = NcrfScorer(word_alphabet=_tiny_alphabet(words), embedd_dim=8,
+                      seed=11)
+    assert sc.emb.shape[1] == 16 and base.emb.shape[1] == 8
+    sents = [["Alice", "met", "Bob"], ["Paris"],
+             ["Bob", "in", "Paris", "met", "Alice"]]
+    out = sc.label_batch(sents)
+    assert out == sc2.label_batch(sents)
+    for s, o in zip(sents, out):
+        assert len(o) == len(s)
+        assert validate_biose_sequence(o) is not None
+        assert sc.label(s) == o
+    # char rows are part of the feature map: emissions differ from the
+    # word-only scorer's (same word seed, wider W)
+    ids, lengths = sc._encode_pad([sents[0]])
+    mask = (np.arange(ids.shape[1])[None, :] < lengths[:, None]).astype(float)
+    assert not np.allclose(sc.emissions(ids, mask), base.emissions(ids, mask))
+
+
+def test_feature_column_surface():
+    """[POS]word extra-feature surface (utils/data.py:187-213): a
+    closed feature alphabet embeds per-token feature strings into the
+    emission input; unseen values fall back to </unk>; supplying
+    features changes emissions; decode shape is preserved."""
+    from engine.ncrf import FeatureEmbedder, NcrfScorer
+
+    fe = FeatureEmbedder(["[POS]NOUN", "[POS]VERB"], feat_dim=4, seed=17)
+    enc = fe.encode_pad([["[POS]NOUN", "[POS]XYZ"]], 3)
+    assert enc[0, 0] == fe.alpha.get_index("[POS]NOUN")
+    assert enc[0, 1] == fe.alpha.get_index("</unk>")  # unseen value
+    assert enc[0, 2] == 0  # padding
+    feats = fe.features([["[POS]NOUN", "[POS]XYZ"]], 3)
+    assert feats.shape == (1, 3, 4)
+    assert np.allclose(feats[0, 2], 0.0)  # padding row zero
+
+    words = ["Alice", "met", "Bob"]
+    sc = NcrfScorer(word_alphabet=_tiny_alphabet(words), embedd_dim=8,
+                    seed=11, feature_values=["[POS]NOUN", "[POS]VERB"],
+                    feat_dim=4)
+    toks = ["Alice", "met", "Bob"]
+    fn = ["[POS]NOUN", "[POS]VERB", "[POS]NOUN"]
+    fv = ["[POS]VERB", "[POS]NOUN", "[POS]VERB"]
+    out_n = sc.label(toks, features=fn)
+    out_v = sc.label(toks, features=fv)
+    assert len(out_n) == len(toks) and len(out_v) == len(toks)
+    ids, lengths = sc._encode_pad([toks])
+    mask = (np.arange(ids.shape[1])[None, :] < lengths[:, None]).astype(float)
+    en = sc.emissions(ids, mask, sc.featurizer.features([fn], ids.shape[1]))
+    ev = sc.emissions(ids, mask, sc.featurizer.features([fv], ids.shape[1]))
+    assert not np.allclose(en, ev)
+    # batch path consistent with the single-sequence path
+    assert sc.label_batch([toks, toks], [fn, fv]) == [out_n, out_v]
+
+
+def test_ncrf_stage_char_and_features_col(ray_session):
+    """Actor-pool stage with use_char + a features column: one label
+    per token, deterministic across replicas."""
+    import ray.data as rd
+
+    from engine.ncrf import NcrfStage
+
+    rows = [
+        {"sent_id": i, "tokens": ["Alice", "met", "Bob"],
+         "feats": ["[POS]NOUN", "[POS]VERB", "[POS]NOUN"]}
+        for i in range(32)
+    ]
+    out = (
+        rd.from_items(rows)
+        .map_batches(
+            NcrfStage,
+            fn_constructor_kwargs={
+                "words": ["Alice", "met", "Bob"], "embedd_dim": 8,
+                "seed": 11, "use_char": True, "char_dim": 8,
+                "feature_values": ["[POS]NOUN", "[POS]VERB"],
+                "features_col": "feats"},
+            batch_format="pandas", concurrency=2, batch_size=8)
+        .to_pandas()
+        .sort_values("sent_id")
+    )
+    assert len(out) == 32
+    assert all(len(l) == 3 for l in out["labels"])
+    assert len({tuple(l) for l in out["labels"]}) == 1

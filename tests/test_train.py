@@ -68,3 +68,24 @@ def test_train_history_partition_independent(ray_session):
     assert h1["n_tokens"].nunique() == 1
     assert list(h1["epoch"]) == [0, 1, 2]
     pd.testing.assert_series_equal(h1["n_errors"], h2["n_errors"])
+
+
+def test_train_char_features_roundtrip(ray_session):
+    """use_char widens the trainable feature map (hashed char n-gram
+    rows on the embedding matrix); the trained weights only fit a
+    scorer built with the SAME char config."""
+    from engine.train import train_crf, trained_scorer
+    from engine.vocab import build_vocab
+
+    df = _labeled_corpus(n=40)
+    ds = rd.from_pandas(df)
+    alpha = build_vocab(ds, "tokens")
+    weights, hist = train_crf(ds, alpha.to_json(), epochs=3,
+                              embedd_dim=16, use_char=True, char_dim=8)
+    W, _, _ = weights
+    assert W.shape[0] == 3 * (16 + 8)
+    assert hist["token_acc"].iloc[-1] >= hist["token_acc"].iloc[0]
+    sc = trained_scorer(alpha.to_json(), weights, embedd_dim=16,
+                        use_char=True, char_dim=8)
+    toks = list(df["tokens"].iloc[0])
+    assert len(sc.label(toks)) == len(toks)
