@@ -197,24 +197,41 @@ def prune_lattice(
     return [e for e in edges if (e.token_id, e.id1, e.id2) in valid]
 
 
-def md_select_edges(edges: list[Edge]) -> list[Edge]:
+def md_select_edges(edges: list[Edge], variant: str = "joint") -> list[Edge]:
     """md_select returning the full Edge objects of the chosen path
-    (carrying the analyzer's lemma/upos/xpos/feats attributes)."""
+    (carrying the analyzer's lemma/upos/xpos/feats attributes).
+
+    variant distinguishes the reference's two MD routes — its own TODO
+    (api_main.py:133-137) flags that the API calls standalone YAP `md`
+    where the CLI flagship uses `joint`:
+      "joint"  (default, the CLI/nemo.py:238-244 route): most-split
+               path, tie-broken by lexicographically smallest form
+               sequence — syntax-pressured decodes favor segmentation.
+      "md"     (the API route): FEWEST-split path, same tie-break —
+               standalone MD without syntactic pressure favors the
+               surface form. Both are deterministic stand-ins for
+               YAP's scored decodes."""
+    if variant not in ("joint", "md"):
+        raise ValueError(f"unknown md variant: {variant!r}")
     out: list[Edge] = []
     for tid, tok_edges in sorted(group_edges_by_token(edges).items()):
         paths = _paths(tok_edges)  # lex-sorted by forms
-        best = max(paths, key=len)  # first (lex-smallest) among longest
+        if variant == "joint":
+            best = max(paths, key=len)   # first (lex-smallest) among longest
+        else:
+            best = min(paths, key=len)   # first (lex-smallest) among shortest
         out.extend(best)
     return out
 
 
-def md_select(edges: list[Edge]) -> list[tuple[str, int]]:
+def md_select(edges: list[Edge], variant: str = "joint"
+              ) -> list[tuple[str, int]]:
     """Morphological disambiguation: ONE path per token from the (pruned)
     lattice. Deterministic policy (stand-in for YAP's scored joint
-    decode, nemo.py:238-244): most-split path, tie-broken by
-    lexicographically smallest form sequence. Returns
-    [(form, token_id), ...] in sentence order."""
-    return [(e.form, e.token_id) for e in md_select_edges(edges)]
+    decode, nemo.py:238-244). Returns [(form, token_id), ...] in
+    sentence order. See md_select_edges for the joint-vs-md variant
+    distinction."""
+    return [(e.form, e.token_id) for e in md_select_edges(edges, variant)]
 
 
 def dep_info(morphs: list[tuple[str, int]]) -> list[tuple[int, int, str]]:
@@ -248,10 +265,10 @@ def dep_info(morphs: list[tuple[str, int]]) -> list[tuple[int, int, str]]:
 
 
 def analyze_prune_md(
-    tokens: list[str], multi_labels: list[str]
+    tokens: list[str], multi_labels: list[str], variant: str = "joint"
 ) -> tuple[list[Edge], list[Edge], list[tuple[str, int]]]:
     """Full morph track for one sentence: MA -> prune -> MD.
     Returns (ambiguous lattice, pruned lattice, morphemes)."""
     lat = build_sentence_lattice(tokens)
     pruned = prune_lattice(lat, multi_labels)
-    return lat, pruned, md_select(pruned)
+    return lat, pruned, md_select(pruned, variant)

@@ -109,10 +109,36 @@ def tune_for_session() -> None:
     cpus = _cpus()
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.default_hash_shuffle_parallelism = max(4, min(64, cpus * 2))
-    # reduce-side map_groups work runs ON the aggregator actors: enough
-    # of them to parallelize the reduce at high CPU counts, few enough
-    # that the map-side actor pool isn't starved at low counts
-    ctx.max_hash_shuffle_aggregators = max(2, cpus // 3)
+    # reduce-side receive/finalize work runs ON the aggregator actors:
+    # one per CPU. Back-to-back sf0.1 matrix (same host conditions,
+    # 8.18M turns, 32 CPUs): 32 aggs x 128 buckets 47.0s; 10 x 128
+    # 108.4s; 10 x 32 72.7s; 32 x 32 71.5s — aggregator count was the
+    # dominant term AND the run-to-run variance source (the old
+    # cpus//3 pool serialized partition finalization). Admission-free
+    # eps-CPU requests (below) are what make a full-width pool safe
+    # next to the map actor pool.
+    ctx.max_hash_shuffle_aggregators = cpus
+    # Aggregator actors must be admission-FREE: Ray 2.49 sizes their CPU
+    # request as min(1, (cpus/2)/num_partitions) per partition, which at
+    # high partition counts reserves ~cpus/2 across the pool — together
+    # with the per-turn actor pool that starves the 1-CPU read tasks
+    # into a permanent `waiting_for_resource` deadlock (observed at
+    # sf0.1: 26 map actors + 7 aggregators = 31.7/32 CPUs, reads never
+    # scheduled). A near-zero per-partition request keeps scheduling
+    # admission open; the OS time-slices actual aggregator compute
+    # against the map pool, and streaming backpressure bounds the
+    # overlap.
+    # NOTE the override is PER PARTITION and an aggregator actor's CPU
+    # request is override x (partitions / aggregators) — a value scaled
+    # to 1/cpus still summed to cpus/2 across the pool at the 8-CPU leg
+    # (0.03 x 16 partitions = 0.5 CPU x 6 aggregators + 5 pool actors
+    # = all 8 CPUs, read task starved). A small CONSTANT keeps the
+    # whole aggregator pool's admission footprint ~0.1 CPU at any
+    # partition count.
+    eps = 1e-3
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = eps
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = eps
+    ctx.join_operator_actor_num_cpus_per_partition_override = eps
 
 
 class MentionExtractor:
@@ -599,12 +625,19 @@ def run_kg_pipeline(
                          "rows": pa.array([triples.num_rows], pa.int64())},
                         schema=metrics_schema)
 
+    import time as _time
+
+    prof = os.environ.get("GRAFT_PROFILE") == "1"
+    t0 = _time.perf_counter()
     if len(done) < num_buckets:
         # one partition per conv-hash bucket (see raw_triples_dataset)
         metrics = turns.groupby("bucket", num_partitions=num_buckets).map_groups(
             resolve_and_write, batch_format="pyarrow"
         )
         stage_a = {r["bucket"]: r["rows"] for r in metrics.iter_rows()}
+        if prof:
+            print(f"[prof] stage_a {_time.perf_counter()-t0:.1f}s", flush=True)
+            print(metrics.stats(), flush=True)
     else:
         stage_a = {}
 
@@ -616,6 +649,8 @@ def run_kg_pipeline(
     final_dir = os.path.join(out_dir, "triples")
     final_ds = final_ds.materialize()
     n = final_ds.count()
+    if prof:
+        print(f"[prof] stage_b {_time.perf_counter()-t0:.1f}s", flush=True)
     # stage B rebuilds the full graph every run; write_parquet APPENDS
     # into an existing dir, so clear any previous run's files first
     import shutil as _shutil

@@ -122,3 +122,39 @@ def write_transcripts_jsonl(ds, out_dir: str) -> None:
     block — the interchange shape for non-parquet consumers); inverse
     of read_transcripts_any(fmt='json')."""
     ds.write_json(out_dir)
+
+
+def write_nbest_text(sents: list[list[str]],
+                     nbest: list[list[tuple[list[str], float]]]) -> str:
+    """The reference's n-best decoded-results TEXT format
+    (utils/data.py:355-392 write_nbest_decoded_results): per sentence a
+    '# s1 s2 ...' header of path scores at 4 decimals, then one line
+    per token — 'word lbl1 lbl2 ... lbln' across the n best paths —
+    and a blank line between sentences. ``nbest[i]`` is the
+    [(labels, score), ...] list a Scorer.label_nbest returns."""
+    out = []
+    for toks, paths in zip(sents, nbest):
+        out.append("# " + " ".join(format(s, ".4f") for _, s in paths))
+        for i, w in enumerate(toks):
+            out.append(" ".join([w] + [labels[i] for labels, _ in paths]))
+        out.append("")
+    return "\n".join(out) + "\n"
+
+
+def read_nbest_text(text: str) -> list[tuple[list[str],
+                                             list[tuple[list[str], float]]]]:
+    """Inverse of write_nbest_text -> [(tokens, [(labels, score), ...])]."""
+    sents = []
+    for block in text.split("\n\n"):
+        lines = [ln for ln in block.split("\n") if ln]
+        if not lines or not lines[0].startswith("# "):
+            continue
+        scores = [float(s) for s in lines[0][2:].split()]
+        toks, cols = [], [[] for _ in scores]
+        for line in lines[1:]:
+            fields = line.split(" ")
+            toks.append(fields[0])
+            for k, lab in enumerate(fields[1:]):
+                cols[k].append(lab)
+        sents.append((toks, list(zip(cols, scores))))
+    return sents

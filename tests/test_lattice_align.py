@@ -136,3 +136,32 @@ def test_process_with_dep_keeps_mentions_identical():
     assert kg_mentions(r0) == kg_mentions(r1)
     assert len(r1["dep_info"]) == len(r1["morph_forms"])
     assert r0["dep_info"] == []
+
+
+def test_md_variant_distinction():
+    """api_main.py:133-137 divergence: API route = standalone 'md'
+    (fewest-split), CLI route = 'joint' (most-split). Both must pick a
+    real path through the same pruned lattice, deterministically."""
+    import pytest
+
+    from engine.ops.lattice import build_sentence_lattice, md_select
+
+    # a token the rule-table analyzer can split (Hebrew-like prefix) —
+    # find one from the analyzer's own candidate set
+    from engine.ops.lattice import candidate_segmentations
+
+    from engine.ops.lattice import MA_PREFIXES
+
+    pref = sorted(MA_PREFIXES)[0]
+    tok = f"{pref}'bit"
+    assert len(candidate_segmentations(tok)) > 1
+    assert tok is not None, "analyzer rule table lost its prefix rules?"
+    lat = build_sentence_lattice([tok])
+    joint = md_select(lat, "joint")
+    md = md_select(lat, "md")
+    assert len(joint) > len(md)  # most-split vs fewest-split
+    assert md_select(lat) == joint  # default stays the CLI route
+    # both are real paths: concatenated forms rebuild the token
+    assert "".join(f for f, _ in md) == tok
+    with pytest.raises(ValueError):
+        md_select(lat, "yap")

@@ -116,3 +116,42 @@ def test_transcripts_jsonl_csv_roundtrip(ray_session, tmp_path):
     assert list(back.columns) == list(orig.columns)
     assert (back["text"] == orig["text"]).all()
     assert len(back) == len(orig)
+
+
+def test_nbest_text_roundtrip():
+    """utils/data.py:355-392 n-best text format: '# score...' header,
+    'word lbl1..lbln' rows, blank line between sentences."""
+    from engine.sources import read_nbest_text, write_nbest_text
+
+    sents = [["Alice", "met"], ["Bob"]]
+    nbest = [
+        [(["S-PER", "O"], 1.25), (["O", "O"], 0.5)],
+        [(["S-PER"], 2.0)],
+    ]
+    text = write_nbest_text(sents, nbest)
+    lines = text.split("\n")
+    assert lines[0] == "# 1.2500 0.5000"
+    assert lines[1] == "Alice S-PER O"
+    assert lines[2] == "met O O"
+    assert lines[3] == ""
+    assert lines[4] == "# 2.0000"
+    back = read_nbest_text(text)
+    assert [t for t, _ in back] == sents
+    assert [[(l, s) for l, s in nb] for _, nb in back] == nbest
+
+
+def test_nbest_text_from_scorer():
+    from engine.ncrf import NcrfScorer
+    from engine.sources import read_nbest_text, write_nbest_text
+    from engine.vocab import Alphabet
+
+    a = Alphabet("word")
+    for w in ["Alice", "met", "Bob"]:
+        a.add(w)
+    sc = NcrfScorer(word_alphabet=a, embedd_dim=8, seed=11)
+    toks = ["Alice", "met", "Bob"]
+    nb = sc.label_nbest(toks, n=3)
+    text = write_nbest_text([toks], [nb])
+    (toks2, nb2), = read_nbest_text(text)
+    assert toks2 == toks
+    assert [l for l, _ in nb2] == [l for l, _ in nb]
