@@ -45,7 +45,12 @@ def run_bench() -> dict:
     from engine.pipeline import run_kg_pipeline
     from engine.queries import QUERIES, transcripts_path
 
-    tpath = transcripts_path(sf_dir)  # generated+cached before timing
+    # GRAFT_BENCH_CONVS overrides the corpus size (the scaling harness
+    # measures on a larger corpus; see run_scaling)
+    n_convs = os.environ.get("GRAFT_BENCH_CONVS")
+    tpath = transcripts_path(
+        sf_dir, n_convs=int(n_convs) if n_convs else None
+    )  # generated+cached before timing
     import pyarrow.parquet as pq
 
     n_turns = sum(
@@ -105,29 +110,64 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    # The scaling legs run on a LARGER corpus than the headline bench
+    # (default 2.4M convs ~= 32.7M turns vs sf0.1's 600k/8.18M): the
+    # north rule's efficiency criterion is defined at-scale, where
+    # per-session fixed wall (executor/shuffle machinery startup,
+    # actor-pool spawn, ~20 s) amortizes. At sf0.1 the 32-CPU leg
+    # finishes in ~40 s — HALF of it fixed cost — so the ratio would
+    # measure session overhead, not the engine's scaling. The corpus
+    # is deterministic, size-keyed and cached; generation happens once
+    # before any leg is timed.
+    scaling_convs = int(os.environ.get("GRAFT_SCALING_CONVS", "2400000"))
+    scale = max(1.0, scaling_convs / 600_000)
+
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1",
-                   GRAFT_HEADLINE_RUNS="1")  # scaling has its own best-of-2
+                   GRAFT_HEADLINE_RUNS="1",  # scaling has its own best-of-2
+                   GRAFT_BENCH_CONVS=str(scaling_convs))
+        # PHYSICAL core confinement (taskset), not just Ray's logical
+        # budget: aggregator actors are admission-free (eps CPU, see
+        # engine.pipeline.tune_for_session) and resolve tasks are
+        # fractional, so an unpinned "8-CPU" leg silently runs 13-15
+        # physical cores — the honest N-vs-4N-node evidence requires
+        # the lo leg to really have N cores.
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True, timeout=560,
+            cmd, env=env,
+            capture_output=True, text=True, check=True,
+            timeout=int(360 + 240 * scale),
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    # generate+cache the corpus OUTSIDE the timed legs (each leg would
+    # otherwise pay generation into its subprocess timeout)
+    import ray
+
+    ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, logging_level="ERROR")
+    from engine.queries import transcripts_path
+
+    transcripts_path(os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+                     n_convs=scaling_convs)
+    ray.shutdown()
 
     lo, hi = 8, 32
     # the shared host is noisy (observed +-20% wall variance on BOTH
     # legs): take best-of-two per leg — min wall is each parallelism
     # level's capability estimate, and symmetric treatment keeps the
     # ratio unbiased (best-of on one side only skews the efficiency).
-    # Soft wall budget: when the first lo leg ran long the second lo
-    # leg (~190 s) is skipped — and then the hi leg is ALSO single-run,
-    # so the measurement stays symmetric (single vs single) instead of
-    # biasing the numerator upward (ADVICE r2).
+    # Soft wall budget (scaled to the corpus): when the first lo leg
+    # ran long the second lo leg is skipped — and then the hi leg is
+    # ALSO single-run, so the measurement stays symmetric (single vs
+    # single) instead of biasing the numerator upward (ADVICE r2).
     t_start = time.perf_counter()
     r_lo = one(lo)
     best_of = 1
-    if time.perf_counter() - t_start < 230:
+    if time.perf_counter() - t_start < 230 * scale:
         r_lo = min(r_lo, one(lo), key=lambda r: r["value"])
         best_of = 2
     r_hi = one(hi)
@@ -143,6 +183,7 @@ def run_scaling() -> dict:
         "turns_per_sec_hi": r_hi["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "turns": r_hi["turns"],
+        "scaling_convs": scaling_convs,
     }
 
 

@@ -63,19 +63,41 @@ def input_meta(path: str) -> dict:
     return {"files": len(files), "rows": rows}
 
 
-# ~64k turns per conv-hash bucket keeps the per-bucket unpack+sort list
-# (engine.pipeline._resolve_bucket) bounded regardless of corpus size
-_TARGET_ROWS_PER_BUCKET = 65536
+# ~256k turns per conv-hash bucket keeps the per-bucket unpack+sort
+# list (engine.pipeline._resolve_bucket) bounded regardless of corpus
+# size while keeping the PARTITION COUNT low: every map block is split
+# into one shuffle piece per partition, so partitions x map-blocks =
+# object-store objects — at 64k rows/bucket a 32.7M-turn corpus hit
+# ~500 partitions x 16k map batches and the mmap/seal churn drove the
+# kernel to 70% sys time (raylet event loop stalling 20 s). 256k rows
+# is ~25 MB of packed mention rows per resolve task: bounded heap AND
+# 4x fewer pieces.
+_TARGET_ROWS_PER_BUCKET = 262144
 
 
 def auto_num_buckets(rows: int, cpus: int | None = None) -> int:
     """Scale the conv-hash bucket count with the corpus: floor 4x CPUs
-    (enough reduce parallelism), target ~64k rows/bucket (bounded
-    per-bucket heap), capped only by a sanity ceiling. At 100x the
-    corpus the bucket count grows 100x instead of the per-bucket heap."""
+    (enough reduce parallelism), target _TARGET_ROWS_PER_BUCKET rows
+    per bucket (bounded per-bucket heap), capped only by a sanity
+    ceiling. At 100x the corpus the bucket count grows 100x instead of
+    the per-bucket heap."""
     cpus = cpus if cpus is not None else _cpus()
     want = max(1, (rows + _TARGET_ROWS_PER_BUCKET - 1) // _TARGET_ROWS_PER_BUCKET)
     return int(min(max(4 * cpus, want), 1 << 20))
+
+
+def auto_num_partitions(num_buckets: int, cpus: int | None = None) -> int:
+    """Shuffle-partition count for the reassembly exchange, DECOUPLED
+    from the bucket count (map_groups calls the UDF once per key within
+    a partition block, so buckets-per-partition > 1 is free). Ray's
+    hash shuffle does one ray.put + one aggregator actor call PER
+    (map-block x partition) — measured on this host (2 GB packed rows,
+    32 CPUs): <=16k pieces ~26 s, 64k ~41 s, 128k ~214 s — so the
+    partition count stays ~CPU-count (one finalize per aggregator) with
+    a bucket-count-tied floor that bounds per-partition heap to ~8
+    buckets (~130 MB packed at the 64 B/turn measured pack rate)."""
+    cpus = cpus if cpus is not None else _cpus()
+    return int(min(num_buckets, max(cpus, (num_buckets + 7) // 8)))
 
 
 def _cpus() -> int:
@@ -273,7 +295,7 @@ def mentions_dataset(path: str, levels: tuple[str, ...] = SCENARIOS,
 
 
 def raw_triples_dataset(path: str, emit: str = "triples",
-                        concurrency: int | None = None, batch_size: int = 2048,
+                        concurrency: int | None = None, batch_size: int = 16384,
                         num_buckets: int | None = None):
     """transcripts -> per-turn KG rows (compact blob payloads) ->
     conversation reassembly (ONE groupby keyed on hash(conv_id) bucket;
@@ -288,12 +310,21 @@ def raw_triples_dataset(path: str, emit: str = "triples",
         batch_size=batch_size,
         concurrency=_pool_size(concurrency),
     )
-    # one shuffle partition PER BUCKET: the session default (2xCPU)
-    # leaves half the partitions empty when num_buckets < 2xCPU — pure
-    # aggregator overhead on the heaviest exchange; exact match keeps
-    # every reduce task non-empty at full parallelism
-    return turns.groupby("bucket", num_partitions=num_buckets).map_groups(
-        lambda g, emit=emit: _resolve_bucket(g, emit), batch_format="pyarrow"
+    # shuffle partitions ~ CPU count, decoupled from the bucket count
+    # (see auto_num_partitions — pieces = map-blocks x partitions).
+    # fractional-CPU reduce tasks + a HARD task-concurrency cap at the
+    # CPU count: num_cpus=0.25 lets resolve tasks pack into the slots
+    # the map actor pool leaves free during the overlap phase (at 1.0
+    # only cpus-pool run — a serial tail worth ~16 s at sf0.1/32cpu),
+    # while concurrency=cpus stops the TAIL (map pool drained, all
+    # CPUs free) from admitting 4x CPUs concurrent heavy Python tasks —
+    # measured 8x aggregate slowdown at the 32.7M-turn tier (128
+    # concurrent resolvers on 32 cores: 38.4k CPU-s vs 1.1k at <=32).
+    return turns.groupby(
+        "bucket", num_partitions=auto_num_partitions(num_buckets)
+    ).map_groups(
+        lambda g, emit=emit: _resolve_bucket(g, emit), batch_format="pyarrow",
+        num_cpus=0.25, concurrency=_cpus(),
     )
 
 
@@ -444,7 +475,7 @@ def canonicalize_and_dedup(triples_ds, num_partitions: int = 16,
 
 
 def triples_dataset(path: str, concurrency: int | None = None,
-                    batch_size: int = 2048, num_partitions: int = 16,
+                    batch_size: int = 16384, num_partitions: int = 16,
                     small_threshold: int = 2_000_000,
                     num_buckets: int | None = None):
     """Full in-memory (lazy) flagship graph: transcripts -> deduped,
@@ -537,7 +568,11 @@ def run_kg_pipeline(
     out_dir: str,
     num_buckets: int | None = None,
     concurrency: int | None = None,
-    batch_size: int = 2048,
+    # 16384-row map batches: each batch emits <= num_buckets packed
+    # shuffle rows and ONE block, and shuffle pieces scale as
+    # map-blocks x partitions — small batches drove object-store
+    # mmap churn at the 32.7M-turn tier (see _TARGET_ROWS_PER_BUCKET)
+    batch_size: int = 16384,
     num_partitions: int = 16,
 ) -> dict:
     """Checkpointed flagship run. Stage A (heavy, resumable): per-turn
@@ -630,9 +665,15 @@ def run_kg_pipeline(
     prof = os.environ.get("GRAFT_PROFILE") == "1"
     t0 = _time.perf_counter()
     if len(done) < num_buckets:
-        # one partition per conv-hash bucket (see raw_triples_dataset)
-        metrics = turns.groupby("bucket", num_partitions=num_buckets).map_groups(
-            resolve_and_write, batch_format="pyarrow"
+        # partitions ~ CPUs, decoupled from buckets (auto_num_partitions);
+        # num_cpus=0.25 + concurrency=cpus: pack into slots the map
+        # pool leaves free during overlap, but never oversubscribe the
+        # drained tail (see raw_triples_dataset)
+        metrics = turns.groupby(
+            "bucket", num_partitions=auto_num_partitions(num_buckets)
+        ).map_groups(
+            resolve_and_write, batch_format="pyarrow", num_cpus=0.25,
+            concurrency=_cpus(),
         )
         stage_a = {r["bucket"]: r["rows"] for r in metrics.iter_rows()}
         if prof:
@@ -641,22 +682,54 @@ def run_kg_pipeline(
     else:
         stage_a = {}
 
-    # Stage B: global reduce over checkpointed pre-triples (input is
-    # already stable on disk — no extra materialize)
-    pre = rd.read_parquet(os.path.join(out_dir, "pre_triples"))
-    final_ds = canonicalize_and_dedup(pre, num_partitions=num_partitions,
-                                      input_stable=True)
-    final_dir = os.path.join(out_dir, "triples")
-    final_ds = final_ds.materialize()
-    n = final_ds.count()
-    if prof:
-        print(f"[prof] stage_b {_time.perf_counter()-t0:.1f}s", flush=True)
-    # stage B rebuilds the full graph every run; write_parquet APPENDS
-    # into an existing dir, so clear any previous run's files first
+    # Stage B: global reduce over checkpointed pre-triples. The
+    # manifests record EXACT per-bucket pre-triple counts, so the
+    # scale switch costs nothing: a vocabulary-sized graph (every
+    # bucket already pre-deduped) runs the whole reduce driver-side
+    # with plain pyarrow — no Ray Data executor launches (each costs
+    # ~1-2 s of fixed wall, x4 datasets they dominated stage B at
+    # sf0.1: ~14 s for a 5.6k-row graph). Large graphs keep the
+    # distributed canon+dedup path.
+    from . import pathlog
+
+    pre_rows = sum(
+        json.load(open(os.path.join(_manifest_dir(out_dir), f)))["triple_rows"]
+        for f in os.listdir(_manifest_dir(out_dir)) if f.endswith(".json")
+    )
     import shutil as _shutil
 
-    _shutil.rmtree(final_dir, ignore_errors=True)
-    final_ds.write_parquet(final_dir)
+    final_dir = os.path.join(out_dir, "triples")
+    small_b = 2_000_000
+    if pre_rows <= small_b:
+        import pyarrow.parquet as pq
+
+        import glob as _glob
+
+        pathlog.note("kg_pipeline", "stage_b_driver_local", rows=pre_rows)
+        parts = sorted(_glob.glob(
+            os.path.join(out_dir, "pre_triples", "bucket=*", "*.parquet")))
+        pre_tbl = (pa.concat_tables([pq.read_table(p) for p in parts])
+                   if parts else TRIPLES.empty_table())
+        final_tbl = local_canonicalize_and_dedup(pre_tbl)
+        n = final_tbl.num_rows
+        _shutil.rmtree(final_dir, ignore_errors=True)
+        os.makedirs(final_dir, exist_ok=True)
+        pq.write_table(final_tbl, os.path.join(final_dir, "part-0.parquet"))
+        if prof:
+            print(f"[prof] stage_b {_time.perf_counter()-t0:.1f}s", flush=True)
+    else:
+        pathlog.note("kg_pipeline", "stage_b_distributed", rows=pre_rows)
+        pre = rd.read_parquet(os.path.join(out_dir, "pre_triples"))
+        final_ds = canonicalize_and_dedup(pre, num_partitions=num_partitions,
+                                          input_stable=True)
+        final_ds = final_ds.materialize()
+        n = final_ds.count()
+        if prof:
+            print(f"[prof] stage_b {_time.perf_counter()-t0:.1f}s", flush=True)
+        # stage B rebuilds the full graph every run; write_parquet
+        # APPENDS into an existing dir, so clear previous files first
+        _shutil.rmtree(final_dir, ignore_errors=True)
+        final_ds.write_parquet(final_dir)
     with open(os.path.join(out_dir, "run_manifest.json"), "w") as f:
         json.dump(
             {"input": input_path, "triples": n, "new_bucket_rows": stage_a,

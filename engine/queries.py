@@ -628,13 +628,16 @@ def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
 _SF_CONVS = {"sf0.001": 60, "sf0.01": 1200, "sf0.1": 600_000}
 
 
-def transcripts_path(sf_dir: str) -> str:
+def transcripts_path(sf_dir: str, n_convs: int | None = None) -> str:
     """Deterministic synthetic transcript corpus sized to the sf tier,
     cached under /tmp (BASELINE.json input_hint shape; no external
     data). Small tiers generate on the driver; the bench tier generates
-    distributed (one task per conversation range, shuffled on write)."""
+    distributed (one task per conversation range, shuffled on write).
+    n_convs overrides the tier size (the scaling harness measures on a
+    larger corpus so both parallelism legs are compute-saturated); the
+    cache path is size-keyed, so overrides never collide."""
     name = os.path.basename(os.path.normpath(sf_dir))
-    n = _SF_CONVS.get(name, 1200)
+    n = n_convs if n_convs is not None else _SF_CONVS.get(name, 1200)
     out = f"/tmp/graft_transcripts/{name}_c{n}"  # size in path: no stale cache
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):

@@ -152,12 +152,12 @@ def test_many_buckets_stays_green(ray_session, tiny_transcripts, oracle_out,
 
     from engine.pipeline import auto_num_buckets, run_kg_pipeline
 
-    # auto sizing: floor 4x cpus, grows ~rows/64k, sane cap
+    # auto sizing: floor 4x cpus, grows ~rows/256k, sane cap
     assert auto_num_buckets(1_000, cpus=4) == 16
     assert auto_num_buckets(8_200_000, cpus=32) == 128
-    # 1e10 rows -> ~64k rows per bucket; the 2^20 ceiling kicks in later
-    assert auto_num_buckets(10_000_000_000, cpus=32) == 152588
-    assert auto_num_buckets(100_000_000_000_000, cpus=32) == 1 << 20
+    # 1e10 rows -> ~256k rows per bucket; the 2^20 ceiling kicks in later
+    assert auto_num_buckets(10_000_000_000, cpus=32) == 38147
+    assert auto_num_buckets(400_000_000_000_000, cpus=32) == 1 << 20
 
     path, _ = tiny_transcripts
     out = str(tmp_path / "many")
