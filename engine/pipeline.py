@@ -130,7 +130,13 @@ def tune_for_session() -> None:
     ctx = DataContext.get_current()
     cpus = _cpus()
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ctx.default_hash_shuffle_parallelism = max(4, min(64, cpus * 2))
+    # partitions default = CPU count, NOT 2x: every map block pays one
+    # ray.put + one aggregator call per partition, and the measured
+    # response (see auto_num_partitions) is flat below ~cpus partitions
+    # and superlinear above — 2x cpus put every bare groupby in the
+    # congestion zone (token_count_docs ran 8.2 s at sf0.1, 3x its
+    # round-2 record, with the 64-partition default).
+    ctx.default_hash_shuffle_parallelism = max(4, cpus)
     # reduce-side receive/finalize work runs ON the aggregator actors:
     # one per CPU. Back-to-back sf0.1 matrix (same host conditions,
     # 8.18M turns, 32 CPUs): 32 aggs x 128 buckets 47.0s; 10 x 128
@@ -362,28 +368,45 @@ def _dedup_partition(group: pa.Table) -> pa.Table:
     return out.drop_columns(["tbucket"]) if "tbucket" in out.column_names else out
 
 
+def _remap_string_column(col, mapping: dict[str, str]) -> pa.Array:
+    """Rewrite a (chunked) string column through ``mapping``, touching
+    only the DISTINCT values: dictionary-encode (C++), map the small
+    dictionary through Python, take by the original indices. Row count
+    never enters Python — the per-row .to_pylist()/dict.get loop cost
+    8.5 s on a 1.6M-row stage B; this form is ~0.3 s."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    enc = pc.dictionary_encode(arr)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    dict_vals = enc.dictionary.to_pylist()
+    new_vals = pa.array([mapping.get(v, v) for v in dict_vals], pa.string())
+    return pc.take(new_vals, enc.indices)
+
+
 def local_canonicalize_and_dedup(table: pa.Table) -> pa.Table:
     """Driver-side stage B for reduced (pre-deduped, vocabulary-sized)
     triple sets: same pure functions (local union-find + sort-dedup)."""
     from .canon import local_components
     from .link import STATIC_CANON_EDGES, nil_edges, resolve_component_root
 
-    nil_keys = sorted(
-        {v for col in ("subj", "obj")
-         for v in table[col].to_pylist() if v.startswith("nil:")}
-    )
+    nil_set: set[str] = set()
+    for col in ("subj", "obj"):
+        arr = table[col]
+        vals = pc.unique(
+            arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        )
+        nil_set.update(vals.filter(pc.starts_with(vals, "nil:")).to_pylist())
+    nil_keys = sorted(nil_set)
     mapping: dict[str, str] = {}
     if nil_keys:
         roots = local_components(STATIC_CANON_EDGES + nil_edges(nil_keys))
         mapping = {k: resolve_component_root(roots.get("n:" + k, "n:" + k))
                    for k in nil_keys}
     if mapping:
-        subj = [mapping.get(v, v) for v in table["subj"].to_pylist()]
-        obj = [mapping.get(v, v) for v in table["obj"].to_pylist()]
         table = table.set_column(table.schema.get_field_index("subj"), "subj",
-                                 pa.array(subj, pa.string()))
+                                 _remap_string_column(table["subj"], mapping))
         table = table.set_column(table.schema.get_field_index("obj"), "obj",
-                                 pa.array(obj, pa.string()))
+                                 _remap_string_column(table["obj"], mapping))
     return _batch_prededup(table)
 
 
@@ -426,9 +449,10 @@ def canonicalize_and_dedup(triples_ds, num_partitions: int = 16,
         vals = set()
         for col in ("subj", "obj"):
             arr = t[col]
-            m = pc.starts_with(arr, "nil:")
-            for v in arr.filter(m).to_pylist():
-                vals.add(v)
+            u = pc.unique(
+                arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+            )
+            vals.update(u.filter(pc.starts_with(u, "nil:")).to_pylist())
         return pa.table({"key": pa.array(sorted(vals), pa.string())})
 
     nil_keys = list(
@@ -449,10 +473,10 @@ def canonicalize_and_dedup(triples_ds, num_partitions: int = 16,
         m = ray.get(ref)
         if not m:
             return _batch_prededup(t)
-        subj = [m.get(v, v) for v in t["subj"].to_pylist()]
-        obj = [m.get(v, v) for v in t["obj"].to_pylist()]
-        t = t.set_column(t.schema.get_field_index("subj"), "subj", pa.array(subj, pa.string()))
-        t = t.set_column(t.schema.get_field_index("obj"), "obj", pa.array(obj, pa.string()))
+        t = t.set_column(t.schema.get_field_index("subj"), "subj",
+                         _remap_string_column(t["subj"], m))
+        t = t.set_column(t.schema.get_field_index("obj"), "obj",
+                         _remap_string_column(t["obj"], m))
         return _batch_prededup(t)
 
     def add_tbucket(t: pa.Table) -> pa.Table:
@@ -708,8 +732,12 @@ def run_kg_pipeline(
         pathlog.note("kg_pipeline", "stage_b_driver_local", rows=pre_rows)
         parts = sorted(_glob.glob(
             os.path.join(out_dir, "pre_triples", "bucket=*", "*.parquet")))
-        pre_tbl = (pa.concat_tables([pq.read_table(p) for p in parts])
-                   if parts else TRIPLES.empty_table())
+        if parts:
+            import pyarrow.dataset as _pds
+
+            pre_tbl = _pds.dataset(parts).to_table()  # threaded read
+        else:
+            pre_tbl = TRIPLES.empty_table()
         final_tbl = local_canonicalize_and_dedup(pre_tbl)
         n = final_tbl.num_rows
         _shutil.rmtree(final_dir, ignore_errors=True)
