@@ -286,6 +286,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT t AS term, COUNT(*) AS n
             FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(t)
             GROUP BY 1 ORDER BY n DESC, term LIMIT 20""",
+        "rep_trigram_docs": """
+            WITH toks AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS w
+                FROM documents),
+            tri AS (
+                SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i))
+            SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT g) AS n_uniq
+            FROM tri GROUP BY 1 ORDER BY 1""",
+        "redact_docs": r"""
+            WITH s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[0-9A-Za-z_.]+@[0-9A-Za-z_.]+')) AS n1,
+                       regexp_replace(text, '[0-9A-Za-z_.]+@[0-9A-Za-z_.]+',
+                                      '<EMAIL>', 'g') AS t1
+                FROM documents),
+            s2 AS (
+                SELECT doc_id, n1,
+                       len(regexp_extract_all(t1, '[0-9]{4,}')) AS n2,
+                       regexp_replace(t1, '[0-9]{4,}', '<NUM>', 'g') AS t2
+                FROM s1),
+            s3 AS (
+                SELECT doc_id, n1, n2,
+                       len(regexp_extract_all(t2,
+                           '\b(?:customer|supplier|part)\b')) AS n3,
+                       regexp_replace(t2, '\b(?:customer|supplier|part)\b',
+                                      '<TERM>', 'g') AS t3
+                FROM s2)
+            SELECT doc_id, CAST(n1 + n2 + n3 AS BIGINT) AS n_hits,
+                   t3 AS red_text
+            FROM s3 ORDER BY doc_id""",
         "quality_filter_docs": """
             SELECT lang,
                    COUNT(*) FILTER (

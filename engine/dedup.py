@@ -30,8 +30,11 @@ _MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9],
 
 
 def _shingles(text: str, k: int = 3,
-              _cache: dict[str, int] | None = None) -> np.ndarray:
-    """k-word shingle set as a SORTED UNIQUE uint64 array.
+              _cache: dict[str, int] | None = None,
+              unique: bool = True) -> np.ndarray:
+    """k-word shingle set as a SORTED UNIQUE uint64 array (pass
+    unique=False for the raw positional array — one hash per gram
+    occurrence — e.g. the within-doc repetition stats).
 
     Vectorized: each distinct TOKEN is FNV-hashed once (tokens repeat
     Zipf-heavily, so the per-actor/call cache almost always hits),
@@ -59,7 +62,7 @@ def _shingles(text: str, k: int = 3,
         acc = hs[: len(hs) - k + 1] * _MIX[0]
         for j in range(1, k):
             acc = acc ^ (hs[j : len(hs) - k + 1 + j] * _MIX[j % len(_MIX)])
-    return np.unique(acc)
+    return np.unique(acc) if unique else acc
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):

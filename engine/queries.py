@@ -1369,10 +1369,82 @@ def quality_filter_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+# PII-style scrub patterns, applied IN ORDER (each stage's count is
+# taken on the previous stage's output — mirrors the nested
+# regexp_replace oracle exactly). ASCII classes + non-capturing groups
+# for re/RE2 parity; the deny-list stage is the one that fires on the
+# synthetic corpus, the email/number stages prove the plumbing.
+REDACT_STAGES: list[tuple[str, str]] = [
+    (r"[0-9A-Za-z_.]+@[0-9A-Za-z_.]+", "<EMAIL>"),
+    (r"[0-9]{4,}", "<NUM>"),
+    (r"\b(?:customer|supplier|part)\b", "<TERM>"),
+]
+
+
+def redact_docs(sf_dir: str) -> pd.DataFrame:
+    """PII-style redaction over the documents table (the scrub pass a
+    training-data pipeline runs before tokenization): sequential regex
+    stages (emails, long digit runs, a deny-term list), per-doc hit
+    count + redacted text. Embarrassingly parallel — vectorized pandas
+    str ops in map_batches, NO shuffle; scales linearly with the
+    corpus."""
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"]
+        hits = pd.Series(0, index=df.index, dtype="int64")
+        for pat, repl in REDACT_STAGES:
+            hits = hits + text.str.count(pat).astype("int64")
+            text = text.str.replace(pat, repl, regex=True)
+        out = df[["doc_id"]].copy()
+        out["n_hits"] = hits
+        out["red_text"] = text
+        return out
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(scrub, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def rep_trigram_docs(sf_dir: str) -> pd.DataFrame:
+    """Within-doc repetition stats (the Gopher-style duplicate-n-gram
+    quality signal): per doc, total vs distinct word trigrams.
+    Vectorized via the dedup module's FNV shingles (distinct 64-bit
+    gram hashes == distinct gram strings up to ~2^-64 collisions — the
+    same contract the oracled ngram_jaccard_pairs already relies on).
+    Docs shorter than 3 tokens emit no row (matches the oracle's
+    trigram unnest). No shuffle — embarrassingly parallel."""
+    from .dedup import _shingles
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cache: dict = {}
+        ids, n_tri, n_uniq = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            sh = _shingles(text, 3, cache, unique=False)
+            if len(sh) == 0:
+                continue
+            ids.append(doc_id)
+            n_tri.append(len(sh))
+            n_uniq.append(len(np.unique(sh)))
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "n_tri": pd.Series(n_tri, dtype="int64"),
+            "n_uniq": pd.Series(n_uniq, dtype="int64"),
+        })
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(stats, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES.update(
     {
         "top_terms": top_terms,
         "quality_filter_docs": quality_filter_docs,
+        "redact_docs": redact_docs,
+        "rep_trigram_docs": rep_trigram_docs,
     }
 )
 
