@@ -28,6 +28,9 @@ class PipelineConfig:
     minhash_bands: int = 16
     minhash_k_shingle: int = 3
     jaccard_threshold: float = 0.8
+    # MD decode route: "joint" (CLI flagship) or "md" (API route) —
+    # the reference's own TODO (api_main.py:133-137) flags the split
+    md_variant: str = "joint"
     # flags
     keep_intermediate: bool = False  # verbosity analog (schema.py:32-35)
     extra: dict = field(default_factory=dict)

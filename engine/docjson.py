@@ -37,7 +37,7 @@ def to_doc(text: str, sp: SentenceProcessor, verbosity: int = 0,
     if "'" in text:
         lattice = build_sentence_lattice(tokens)
         pruned = prune_lattice(lattice, rec["labels_multi"])
-        md_edges = md_select_edges(pruned)
+        md_edges = md_select_edges(pruned, sp.md_variant)
     else:
         lattice, pruned = None, None
         md_edges = build_sentence_lattice(tokens)  # trivial 1-edge tokens
@@ -96,9 +96,11 @@ class DocJsonStage:
     """Actor stage: transcript turns in, JSON Doc strings out (one per
     turn) — the batch analog of a verbosity-parameterized endpoint."""
 
-    def __init__(self, verbosity: int = 0, include_lattices: bool = False
-                 ) -> None:
-        self.sp = SentenceProcessor()
+    def __init__(self, verbosity: int = 0, include_lattices: bool = False,
+                 md_variant: str = "joint") -> None:
+        # md_variant="md" mirrors the reference API route's standalone
+        # MD (api_main.py:133-137); the default stays the CLI's joint
+        self.sp = SentenceProcessor(md_variant=md_variant)
         self.verbosity = verbosity
         self.include_lattices = include_lattices
 

@@ -38,10 +38,14 @@ class SentenceProcessor:
     """Holds the three scorers; lives in a Ray actor's __init__ so state
     is built once per worker (A1-A4 analog)."""
 
-    def __init__(self) -> None:
+    def __init__(self, md_variant: str = "joint") -> None:
         self.single = TokenSingleScorer()
         self.multi = TokenMultiScorer()
         self.morph = MorphScorer()
+        # "joint" = the CLI flagship route (nemo.py:238-244), "md" = the
+        # API route's standalone MD (api_main.py:133-137 TODO flags the
+        # divergence in the reference itself) — see md_select_edges
+        self.md_variant = md_variant
 
     def process(self, text: str, levels: tuple[str, ...] = SCENARIOS,
                 with_dep: bool = False) -> dict:
@@ -65,12 +69,14 @@ class SentenceProcessor:
         else:
             lattice = build_sentence_lattice(tokens)
             pruned = prune_lattice(lattice, labels_multi)
-            morphs = md_select(pruned)        # [(form, token_id)] hybrid track
+            # [(form, token_id)] hybrid track, joint- or md-variant decode
+            morphs = md_select(pruned, self.md_variant)
             forms = [f for f, _ in morphs]
 
         labels_single = self.single.label(tokens) if "token_single" in lv else []
         if "morph_yap" in lv:
-            morphs_yap = morphs if lattice is None else md_select(lattice)
+            morphs_yap = (morphs if lattice is None
+                          else md_select(lattice, self.md_variant))
             labels_morph_yap = self.morph.label([f for f, _ in morphs_yap])
         else:
             morphs_yap, labels_morph_yap = [], []

@@ -165,3 +165,39 @@ def test_md_variant_distinction():
     assert "".join(f for f, _ in md) == tok
     with pytest.raises(ValueError):
         md_select(lat, "yap")
+
+
+def test_md_variant_threads_end_to_end():
+    """The md/joint route choice must flow from SentenceProcessor /
+    DocJsonStage (api_main.py md route analog) down to the decode —
+    not just exist at the ops layer. The two routes can only disagree
+    when the pruned lattice retains paths of different lengths (the
+    NER-count keep-all fallback), so that scenario is exercised
+    explicitly alongside the plumbing."""
+    from engine.docjson import DocJsonStage
+    from engine.kgflow import SentenceProcessor
+    from engine.ops.lattice import (MA_PREFIXES, build_sentence_lattice,
+                                    candidate_segmentations, md_select,
+                                    prune_lattice)
+
+    pref = sorted(MA_PREFIXES)[0]
+    tok = f"{pref}'bit"
+    assert len(candidate_segmentations(tok)) > 1
+
+    # plumbing: the variant reaches the scorer state in both surfaces
+    assert SentenceProcessor(md_variant="md").md_variant == "md"
+    assert DocJsonStage(verbosity=0, md_variant="md").sp.md_variant == "md"
+    # identical outputs when the pruned lattice is single-length (the
+    # scorer's count picks one path length — both routes must agree)
+    text = f"alpha {tok} omega"
+    assert (SentenceProcessor().process(text)["morph_forms"]
+            == SentenceProcessor(md_variant="md").process(text)["morph_forms"])
+
+    # divergence under the keep-all fallback: a count the analyzer has
+    # no path for keeps ALL paths, and the routes pick opposite ends
+    lat = build_sentence_lattice([tok])
+    pruned = prune_lattice(lat, ["O^O^O^O^O"])  # no 5-morph candidate
+    joint = md_select(pruned, "joint")
+    md = md_select(pruned, "md")
+    assert len(joint) > len(md)
+    assert "".join(f for f, _ in md) == tok
