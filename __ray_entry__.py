@@ -286,6 +286,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT t AS term, COUNT(*) AS n
             FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(t)
             GROUP BY 1 ORDER BY n DESC, term LIMIT 20""",
+        "tfidf_doc_score": """
+            WITH t AS (
+                SELECT doc_id, u.t AS term
+                FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(t)),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+            df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT tf.doc_id,
+                   ROUND(SUM(tf.tf * ROUND(LN(n.n::DOUBLE / df.df), 8)), 4)
+                       AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+            GROUP BY 1 ORDER BY 1""",
         "rep_trigram_docs": """
             WITH toks AS (
                 SELECT doc_id, string_split(lower(text), ' ') AS w

@@ -1439,12 +1439,62 @@ def rep_trigram_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def tfidf_doc_score(sf_dir: str) -> pd.DataFrame:
+    """Per-doc TF-IDF mass (the topic/quality weighting pass a
+    training-data pipeline runs after tokenization): score(doc) =
+    sum over terms of tf * ln(N/df), idf rounded to 8 decimals and the
+    sum to 4 on BOTH sides so float summation order can't flip the
+    hash. Two passes over documents: (1) document frequency via the
+    same vocabulary-sized Counter-combiner shuffle as top_terms, with
+    the resulting idf table BROADCAST (ray.put — small side never
+    re-ships per batch); (2) shuffle-free per-doc scoring."""
+    import math
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for t in df["text"]:
+            c.update(set(t.lower().split()))  # distinct per doc -> df
+        return pd.DataFrame({"term": list(c.keys()),
+                             "df": pd.Series(list(c.values()), dtype="int64")})
+
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()  # vocabulary-sized, bounded
+    )
+    idf = {t: round(math.log(n_docs / d), 8)
+           for t, d in zip(df_tbl["term"], df_tbl["df"])}
+    idf_ref = ray.put(idf)
+
+    def score(df: pd.DataFrame, ref=idf_ref) -> pd.DataFrame:
+        m = ray.get(ref)
+        out = df[["doc_id"]].copy()
+        out["tfidf"] = [
+            round(sum(tf * m[t] for t, tf in Counter(x.lower().split()).items()), 4)
+            for x in df["text"]
+        ]
+        return out
+
+    out = docs.map_batches(score, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES.update(
     {
         "top_terms": top_terms,
         "quality_filter_docs": quality_filter_docs,
         "redact_docs": redact_docs,
         "rep_trigram_docs": rep_trigram_docs,
+        "tfidf_doc_score": tfidf_doc_score,
     }
 )
 
