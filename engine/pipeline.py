@@ -480,14 +480,43 @@ def canonicalize_and_dedup(triples_ds, num_partitions: int = 16,
         return _batch_prededup(t)
 
     def add_tbucket(t: pa.Table) -> pa.Table:
+        # vectorized triple-key bucketing: FNV only the DISTINCT values
+        # per column (canon ids and predicates repeat heavily), then
+        # combine the per-column hashes position-wise with odd mixing
+        # constants in uint64 wraparound — no per-row Python hashing.
+        # Only the partition ASSIGNMENT depends on this; any uniform
+        # deterministic hash is correct.
+        import numpy as np
+
+        mix = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                        0x165667B19E3779F9], dtype=np.uint64)
+        acc = np.zeros(t.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i, col in enumerate(("subj", "pred", "obj")):
+                arr = t[col]
+                enc = pc.dictionary_encode(
+                    arr.combine_chunks() if isinstance(arr, pa.ChunkedArray)
+                    else arr
+                )
+                if isinstance(enc, pa.ChunkedArray):
+                    enc = enc.combine_chunks()
+                dvals = np.array(
+                    [np.uint64(fnv_bucket(v, 1 << 63)) for v in
+                     enc.dictionary.to_pylist()],
+                    dtype=np.uint64,
+                )
+                idx = enc.indices.to_numpy(zero_copy_only=False)
+                acc ^= dvals[idx] * mix[i]
+            # splitmix64 finisher: the xor of three column hashes
+            # correlates (pred vocabulary is tiny) — avalanche before
+            # the modulus for uniform bucket occupancy
+            acc ^= acc >> np.uint64(30)
+            acc *= np.uint64(0xBF58476D1CE4E5B9)
+            acc ^= acc >> np.uint64(27)
+            acc *= np.uint64(0x94D049BB133111EB)
+            acc ^= acc >> np.uint64(31)
         return t.append_column(
-            "tbucket",
-            pa.array(
-                [fnv_bucket(f"{s}\x1f{p}\x1f{o}", 64)
-                 for s, p, o in zip(t["subj"].to_pylist(), t["pred"].to_pylist(),
-                                    t["obj"].to_pylist())],
-                pa.int32(),
-            ),
+            "tbucket", pa.array((acc % 64).astype(np.int32), pa.int32())
         )
 
     rewritten = triples_ds.map_batches(rewrite, batch_format="pyarrow")
