@@ -246,7 +246,15 @@ def _resolve_bucket(group: pa.Table, emit: str) -> pa.Table:
     map-side packs, sort all turn entries by (conv_id, turn_idx) — the
     in-group half of the reassembly contract — then run the
     order-dependent linking walk per conversation slice. Bounded
-    fan-out regardless of #conversations."""
+    fan-out regardless of #conversations.
+
+    Skew bound: per-bucket heap is ~_TARGET_ROWS_PER_BUCKET turn
+    entries EXCEPT when one conversation alone exceeds it — the linking
+    walk is order-dependent (each alias resolves against earlier turns
+    of the SAME conversation), so a conversation cannot be split across
+    workers without changing its output. A pathological conversation
+    therefore inflates exactly one bucket; it is surfaced via pathlog
+    (no silent caps) rather than silently truncated."""
     import pickle
 
     from .kgflow import resolve_conversation
@@ -254,6 +262,12 @@ def _resolve_bucket(group: pa.Table, emit: str) -> pa.Table:
     entries: list[tuple] = []
     for payload in group["payload"].to_pylist():
         entries.extend(pickle.loads(payload))
+    if len(entries) > 8 * _TARGET_ROWS_PER_BUCKET:
+        from . import pathlog
+
+        pathlog.note("kg_pipeline", "oversized_bucket",
+                     turn_entries=len(entries),
+                     target=_TARGET_ROWS_PER_BUCKET)
     entries.sort(key=lambda e: (e[0], e[1]))  # (conv_id, turn_idx)
 
     entities: list[dict] = []
