@@ -42,6 +42,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 
 
+def _lang_id_oracle() -> str:
+    """SQL mirror of engine.textstats.LangId, built from the SAME
+    profile dict (one source of truth): tokens are maximal letter runs
+    of the lowered text (the engine's lookaround regex counts exactly
+    whole-token profile-word occurrences), score = per-language hit
+    count, argmax with profile-name-order tie-break, 'und' on zero."""
+    from engine.textstats import _LANG_PROFILES
+
+    rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_LANG_PROFILES)
+        for w in sorted(_LANG_PROFILES[lang])
+    )
+    return f"""
+        WITH prof(lang, w) AS (VALUES {rows}),
+        toks AS (
+            SELECT doc_id, u.t AS w
+            FROM documents,
+                 UNNEST(regexp_extract_all(lower(text),
+                        '[a-zà-ÿäöüß]+')) AS u(t)),
+        hits AS (
+            SELECT t.doc_id, p.lang, COUNT(*) AS s
+            FROM toks t JOIN prof p ON t.w = p.w GROUP BY 1, 2),
+        best AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY s DESC, lang) AS rn
+            FROM hits),
+        lab AS (
+            SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
+            FROM documents d
+            LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1)
+        SELECT lang_pred, COUNT(*) AS n_docs
+        FROM lab GROUP BY 1 ORDER BY 1"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": f"""
@@ -286,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT t AS term, COUNT(*) AS n
             FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(t)
             GROUP BY 1 ORDER BY n DESC, term LIMIT 20""",
+        "lang_id_docs": _lang_id_oracle(),
         "tfidf_doc_score": """
             WITH t AS (
                 SELECT doc_id, u.t AS term
