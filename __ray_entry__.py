@@ -4,9 +4,13 @@ entry()      flagship KG pipeline (transcripts -> deduped canonical
              triples) at the sf0.001 tier.
 queries()    one callable per implemented operator/pipeline from
              SURVEY.md section 2 + the training-data extensions.
-oracle_sql() DuckDB-equivalent SQL for the SQL-expressible subset;
-             non-SQL-expressible ops (heuristic lang-ID, MinHash/SimHash,
-             LSH ANN, the deterministic-NER KG pipeline) are rows-only.
+oracle_sql() DuckDB-equivalent SQL for the SQL-expressible subset —
+             including bit-exact FNV-1a mirrors (recursive CTEs in
+             HUGEINT) for fingerprint/simhash and a profile-table
+             mirror for lang-ID. Still rows-only: approximate ANN
+             (LSH/IVF), MinHash clusters' candidate generation, model
+             scoring/training, multimodal stubs, and the
+             deterministic-NER KG pipeline itself.
 
 Ray is initialised by the driver BEFORE this module is imported — no
 ray.init()/ray.shutdown() here or in engine.*.
@@ -76,6 +80,103 @@ def _lang_id_oracle() -> str:
             LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1)
         SELECT lang_pred, COUNT(*) AS n_docs
         FROM lab GROUP BY 1 ORDER BY 1"""
+
+
+def _fingerprint_oracle() -> str:
+    """SQL mirror of engine.textstats.Fingerprinter for the (verified)
+    all-ASCII corpus, where ascii(char) == the UTF-8 byte == the UTF-32
+    code point the engine hashes. fp_exact: FNV-1a folded left-to-right
+    via a recursive CTE in HUGEINT with explicit mod-2^64 wraparound
+    (the xor only touches the low 7 bits since each byte < 128, so it
+    runs in BIGINT); the engine stores the signed two's-complement view
+    of the uint64, mirrored by the final CASE. fp_min_rolling: each
+    8-gram's Karp-Rabin value is a DIRECT 8-term polynomial
+    sum(ord * 257^(7-k)) mod 2^64 — min over windows, then masked to
+    63 bits, exactly as the engine's vectorized sweep."""
+    B = 257
+    terms = " + ".join(
+        f"ascii(substr(text, i + {k}, 1))::HUGEINT * {B ** (7 - k)}"
+        for k in range(8)
+    )
+    return f"""
+        WITH RECURSIVE fnv(doc_id, i, h) AS (
+            SELECT doc_id, 0::BIGINT, CAST(14695981039346656037 AS HUGEINT)
+            FROM documents
+            UNION ALL
+            SELECT f.doc_id, f.i + 1,
+                   ((f.h - f.h % 128
+                     + xor((f.h % 128)::BIGINT,
+                           ascii(substr(d.text, (f.i + 1)::INTEGER, 1))
+                          )::HUGEINT)
+                    * 1099511628211) % 18446744073709551616
+            FROM fnv f JOIN documents d USING (doc_id)
+            WHERE f.i < length(d.text)),
+        fexact AS (
+            SELECT f.doc_id, f.h
+            FROM fnv f JOIN documents d USING (doc_id)
+            WHERE f.i = length(d.text)),
+        wins AS (
+            SELECT doc_id, ({terms}) % 18446744073709551616 AS w
+            FROM documents,
+                 UNNEST(generate_series(1, length(text) - 7)) AS u(i)),
+        minroll AS (
+            SELECT doc_id, MIN(w) % 9223372036854775808 AS mr
+            FROM wins GROUP BY 1)
+        SELECT e.doc_id,
+               CAST(CASE WHEN e.h >= 9223372036854775808
+                         THEN e.h - 18446744073709551616
+                         ELSE e.h END AS BIGINT) AS fp_exact,
+               CAST(m.mr AS BIGINT) AS fp_min_rolling
+        FROM fexact e JOIN minroll m USING (doc_id)
+        ORDER BY e.doc_id"""
+
+
+def _simhash_oracle() -> str:
+    """SQL mirror of engine.dedup.SimHasher: FNV-1a per DISTINCT token
+    (recursive CTE — vocabulary-sized, iterating to the longest token),
+    +-1 votes per token OCCURRENCE per bit, bit set iff the vote sum is
+    positive, 4x16-bit band keys from the unsigned value, and the
+    signed two's-complement view for the stored simhash."""
+    pows = ", ".join(f"({b}, CAST({1 << b} AS HUGEINT))" for b in range(64))
+    return f"""
+        WITH RECURSIVE vocab AS (
+            SELECT DISTINCT u.t AS w
+            FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(t)),
+        fnv(w, i, h) AS (
+            SELECT w, 0::BIGINT, CAST(14695981039346656037 AS HUGEINT)
+            FROM vocab
+            UNION ALL
+            SELECT f.w, f.i + 1,
+                   ((f.h - f.h % 128
+                     + xor((f.h % 128)::BIGINT,
+                           ascii(substr(f.w, (f.i + 1)::INTEGER, 1))
+                          )::HUGEINT)
+                    * 1099511628211) % 18446744073709551616
+            FROM fnv f WHERE f.i < length(f.w)),
+        th AS (SELECT w, h FROM fnv WHERE i = length(w)),
+        pows(b, p) AS (VALUES {pows}),
+        toks AS (
+            SELECT doc_id, u.t AS w
+            FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(t)),
+        votes AS (
+            SELECT t.doc_id, p.b,
+                   SUM(CASE WHEN (th.h // p.p) % 2 = 1 THEN 1 ELSE -1 END)
+                       AS acc
+            FROM toks t JOIN th ON th.w = t.w CROSS JOIN pows p
+            GROUP BY 1, 2),
+        sim AS (
+            SELECT v.doc_id,
+                   SUM(CASE WHEN v.acc > 0 THEN p.p ELSE 0::HUGEINT END) AS u
+            FROM votes v JOIN pows p USING (b) GROUP BY 1)
+        SELECT doc_id,
+               CAST(CASE WHEN u >= 9223372036854775808
+                         THEN u - 18446744073709551616
+                         ELSE u END AS BIGINT) AS simhash,
+               CAST(u % 65536 AS BIGINT) AS band0,
+               CAST((u // 65536) % 65536 AS BIGINT) AS band1,
+               CAST((u // 4294967296) % 65536 AS BIGINT) AS band2,
+               CAST((u // 281474976710656) % 65536 AS BIGINT) AS band3
+        FROM sim ORDER BY doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -323,6 +424,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(t)
             GROUP BY 1 ORDER BY n DESC, term LIMIT 20""",
         "lang_id_docs": _lang_id_oracle(),
+        "fingerprint_docs": _fingerprint_oracle(),
+        "simhash_docs": _simhash_oracle(),
         "tfidf_doc_score": """
             WITH t AS (
                 SELECT doc_id, u.t AS term
