@@ -5,6 +5,12 @@ nemo.py:433-464, re-expressed):
   python -m engine.cli run --input DIR --out DIR [--buckets B]
   python -m engine.cli mentions --input DIR --out DIR [--levels ...]
   python -m engine.cli eval --gold DIR --pred DIR --keys subj,pred,obj
+  python -m engine.cli docjson --input DIR --out DIR [--verbosity 0|1|2]
+                               [--md-variant joint|md] [--include-lattices]
+
+`docjson` is the batch analog of the reference's FastAPI surface
+(api_main.py:470-742): Doc-shaped JSON per turn, verbosity-gated
+fields, and the API route's standalone-`md` decode via --md-variant.
 
 On a real cluster these run via `ray job submit -- python -m engine.cli
 run ...`; locally they auto-init Ray (guarded)."""
@@ -50,7 +56,16 @@ def main(argv=None) -> int:
     p = sub.add_parser("run")
     p.add_argument("--input", required=True)
     p.add_argument("--out", required=True)
-    p.add_argument("--buckets", type=int, default=32)
+    # default None = auto_num_buckets from the input row count
+    p.add_argument("--buckets", type=int, default=None)
+
+    p = sub.add_parser("docjson")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--verbosity", type=int, default=0, choices=(0, 1, 2))
+    p.add_argument("--md-variant", default="joint", choices=("joint", "md"))
+    p.add_argument("--include-lattices", action="store_true")
+    p.add_argument("--concurrency", type=int, default=4)
 
     p = sub.add_parser("mentions")
     p.add_argument("--input", required=True)
@@ -82,6 +97,22 @@ def main(argv=None) -> int:
         levels = tuple(args.levels.split(",")) if args.levels else SCENARIOS
         mentions_dataset(args.input, levels=levels).write_parquet(args.out)
         print(json.dumps({"out": args.out}))
+    elif args.cmd == "docjson":
+        from .docjson import DocJsonStage
+        from .pipeline import read_transcripts
+
+        read_transcripts(args.input).map_batches(
+            DocJsonStage,
+            fn_constructor_kwargs={
+                "verbosity": args.verbosity,
+                "include_lattices": args.include_lattices,
+                "md_variant": args.md_variant,
+            },
+            batch_format="pandas",
+            concurrency=args.concurrency,
+        ).write_parquet(args.out)
+        print(json.dumps({"out": args.out, "verbosity": args.verbosity,
+                          "md_variant": args.md_variant}))
     elif args.cmd == "eval":
         import ray.data as rd
 

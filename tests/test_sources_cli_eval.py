@@ -79,6 +79,30 @@ def test_cli_synth_run_eval(ray_session, tmp_path):
                  "--pred", os.path.join(out, "triples")]) == 0
 
 
+def test_cli_docjson(ray_session, tmp_path):
+    """docjson subcommand = the reference API surface as a batch job:
+    Doc-shaped JSON per turn, verbosity fields, md-variant plumbed."""
+    import json as _json
+    import os
+
+    import duckdb
+
+    from engine.cli import main
+
+    tdir = str(tmp_path / "t")
+    assert main(["synth", "--out", tdir, "--convs", "4"]) == 0
+    dj = str(tmp_path / "dj")
+    assert main(["docjson", "--input", tdir, "--out", dj,
+                 "--verbosity", "2", "--md-variant", "md"]) == 0
+    df = duckdb.sql(
+        f"SELECT * FROM '{os.path.join(dj, '*.parquet')}'").df()
+    assert set(df.columns) == {"conv_id", "turn_idx", "doc_json"}
+    assert len(df) > 0
+    doc = _json.loads(df["doc_json"].iloc[0])
+    # verbosity-2 Doc shape: ents + tokens + dep info present
+    assert {"text", "ents", "tokens", "dep_tree"} <= set(doc)
+
+
 def test_distributed_components_long_chain(ray_session):
     """Path graphs are the adversarial shape for min-label propagation
     (MinHash candidate generation emits id CHAINS): a 500-hop path
