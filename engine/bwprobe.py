@@ -48,6 +48,10 @@ def probe_one(args: tuple[int, int]) -> float:
     """Worker: pin to one core, run the map-stage kernel, return its
     turns/sec. Top-level so multiprocessing spawn can import it."""
     core, n_iter = args
+    return _probe_kernel(core, n_iter)
+
+
+def _probe_kernel(core: int, n_iter: int, barrier=None) -> float:
     try:
         os.sched_setaffinity(0, {core})
     except OSError:
@@ -59,7 +63,37 @@ def probe_one(args: tuple[int, int]) -> float:
     batch = _corpus_batch()
     ex = BatchKgExtractor()
     extract_packs(ex, batch.slice(0, 2048), 128)  # warm caches/JIT-ish
+    if barrier is not None:
+        barrier.wait()
     t0 = time.perf_counter()
     for _ in range(n_iter):
         extract_packs(ex, batch, 128)
     return batch.num_rows * n_iter / (time.perf_counter() - t0)
+
+
+def _probe_worker(core: int, n_iter: int, barrier, q) -> None:
+    q.put(_probe_kernel(core, n_iter, barrier))
+
+
+def probe_parallel(nproc: int, n_iter: int = 4) -> float:
+    """Aggregate turns/s of ``nproc`` pinned workers over fully
+    overlapping measurement windows: ONE process per core with a start
+    barrier after per-worker warmup, so every rate is measured at true
+    nproc-way concurrency. (Pool.map's task-to-worker assignment is not
+    1:1 — a worker could run two tasks back-to-back while another
+    idles, measuring some rates at lower concurrency; ADVICE r3.)"""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(nproc)
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_probe_worker, args=(i, n_iter, barrier, q))
+        for i in range(nproc)
+    ]
+    for p in procs:
+        p.start()
+    total = sum(q.get() for _ in procs)
+    for p in procs:
+        p.join()
+    return total

@@ -425,9 +425,18 @@ class NcrfScorer:
         padded, lengths = self._encode_pad(sorted_lists)
         mask = (np.arange(padded.shape[1])[None, :] < lengths[:, None])
         extra = None
-        if self.featurizer is not None and feature_lists is not None:
-            extra = self.featurizer.features(
-                [feature_lists[i] for i in order], padded.shape[1])
+        if self.featurizer is not None:
+            if feature_lists is not None:
+                extra = self.featurizer.features(
+                    [feature_lists[i] for i in order], padded.shape[1])
+            else:
+                # feature-aware scorer, feature-less input: zero-fill the
+                # extra block (padding-row semantics — row 0 of the
+                # feature table is zero) instead of letting the emission
+                # matmul fail on a dimension mismatch (ADVICE r3)
+                extra = np.zeros(
+                    (padded.shape[0], padded.shape[1],
+                     self.featurizer.feat_dim))
         feats = self.emissions(padded, mask.astype(np.float64), extra)
         paths = viterbi_batch(feats, lengths, self.transitions)
         restored: list[list[str]] = [[] for _ in token_lists]
@@ -450,8 +459,11 @@ class NcrfScorer:
         padded, lengths = self._encode_pad([tokens])
         mask = (np.arange(padded.shape[1])[None, :] < lengths[:, None])
         extra = None
-        if self.featurizer is not None and features is not None:
-            extra = self.featurizer.features([features], padded.shape[1])
+        if self.featurizer is not None:
+            extra = (self.featurizer.features([features], padded.shape[1])
+                     if features is not None
+                     else np.zeros((1, padded.shape[1],
+                                    self.featurizer.feat_dim)))
         feats = self.emissions(padded, mask.astype(np.float64), extra)[0]
         out = viterbi_nbest(feats, int(lengths[0]), self.transitions, n)
         return [([self.tags[j] for j in p], round(s, 6)) for p, s in out]
@@ -492,7 +504,15 @@ class NcrfStage:
     def __call__(self, df):
         df = df.copy()
         feats = None
-        if self.features_col is not None and self.features_col in df:
+        if self.features_col is not None:
+            if self.features_col not in df:
+                # a configured feature column that vanished from a batch
+                # is a pipeline bug — fail loudly instead of silently
+                # decoding feature-less (ADVICE r3)
+                raise ValueError(
+                    f"NcrfStage: features_col {self.features_col!r} is "
+                    f"configured but missing from the batch (columns: "
+                    f"{list(df.columns)})")
             feats = [list(f) for f in df[self.features_col]]
         df[self.out_col] = self.sc.label_batch(
             [list(t) for t in df[self.tokens_col]], feats)

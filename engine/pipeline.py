@@ -74,6 +74,15 @@ def input_meta(path: str) -> dict:
 # 4x fewer pieces.
 _TARGET_ROWS_PER_BUCKET = 262144
 
+# ONE switch point for stage B (canon + dedup): at or below this many
+# pre-triples the reduce runs driver-local (the distributed path costs
+# ~14 s of executor fixed wall for a vocabulary-sized graph); above it
+# the distributed canon+dedup runs. Used by BOTH canonicalize_and_dedup
+# and run_kg_pipeline so the CLI run and the in-memory path always
+# switch strategies at the same size (ADVICE r3). GRAFT_SMALL_B
+# overrides for measurement (e.g. =0 forces the distributed branch).
+SMALL_GRAPH_THRESHOLD = int(os.environ.get("GRAFT_SMALL_B", 2_000_000))
+
 
 def auto_num_buckets(rows: int, cpus: int | None = None) -> int:
     """Scale the conv-hash bucket count with the corpus: floor 4x CPUs
@@ -426,7 +435,7 @@ def local_canonicalize_and_dedup(table: pa.Table) -> pa.Table:
 
 def canonicalize_and_dedup(triples_ds, num_partitions: int = 16,
                            input_stable: bool = False,
-                           small_threshold: int = 2_000_000):
+                           small_threshold: int = SMALL_GRAPH_THRESHOLD):
     """Global canon + exact dedup over (pre-)triples.
 
     1. collect distinct nil subj/obj keys (a vocabulary-sized set),
@@ -449,9 +458,10 @@ def canonicalize_and_dedup(triples_ds, num_partitions: int = 16,
     # scale-aware stage B: the pre-triples are already per-bucket
     # pre-deduped, so a vocabulary-sized set runs the reduce driver-side
     # in one pass (same pure functions); large sets stay distributed
-    if small_threshold and triples_ds.count() <= small_threshold:
+    n_pre = triples_ds.count() if small_threshold else None
+    if small_threshold and n_pre <= small_threshold:
         pathlog.note("canon_dedup", "driver_local",
-                     n=triples_ds.count(), threshold=small_threshold)
+                     n=n_pre, threshold=small_threshold)
         parts = [t for t in ray.get(triples_ds.to_arrow_refs()) if t.num_rows]
         table = (pa.concat_tables(parts).combine_chunks() if parts
                  else pa.Table.from_pylist([], schema=TRIPLES))
@@ -543,7 +553,7 @@ def canonicalize_and_dedup(triples_ds, num_partitions: int = 16,
 
 def triples_dataset(path: str, concurrency: int | None = None,
                     batch_size: int = 16384, num_partitions: int = 16,
-                    small_threshold: int = 2_000_000,
+                    small_threshold: int = SMALL_GRAPH_THRESHOLD,
                     num_buckets: int | None = None):
     """Full in-memory (lazy) flagship graph: transcripts -> deduped,
     canonicalized triples Dataset. small_threshold=0 forces the fully
@@ -766,8 +776,7 @@ def run_kg_pipeline(
     import shutil as _shutil
 
     final_dir = os.path.join(out_dir, "triples")
-    small_b = 2_000_000
-    if pre_rows <= small_b:
+    if pre_rows <= SMALL_GRAPH_THRESHOLD:
         import pyarrow.parquet as pq
 
         import glob as _glob
