@@ -65,13 +65,17 @@ def _shingles(text: str, k: int = 3,
     return np.unique(acc) if unique else acc
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep min(id) per distinct text. Returns (id, n_copies) rows."""
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                rows_hint: int | None = None):
+    """Keep min(id) per distinct text. Returns (id, n_copies) rows.
+    Shuffle-bucket count scales from rows_hint (auto_buckets)."""
     import pyarrow as pa
 
+    from .shuffle import auto_buckets
     from .textstats import Fingerprinter
 
     fnv = Fingerprinter.fnv64
+    nb = auto_buckets(rows_hint)
 
     def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame()
@@ -81,7 +85,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         g = out.groupby("h", as_index=False).agg(
             **{id_col: (id_col, "min"), "n_copies": (id_col, "size")}
         )
-        g["part"] = (g["h"].astype("uint64") % np.uint64(64)).astype("int64")
+        g["part"] = (g["h"].astype("uint64") % np.uint64(nb)).astype("int64")
         return g
 
     def finalize(g: pd.DataFrame) -> pd.DataFrame:
@@ -96,7 +100,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     return (
         ds.map_batches(hash_batch, batch_format="pandas")
-        .groupby("part", num_partitions=bucket_partitions(64))
+        .groupby("part", num_partitions=bucket_partitions(nb))
         .map_groups(finalize, batch_format="pandas")
     )
 
@@ -106,8 +110,9 @@ class MinHasher:
     Permutation parameters are seeded constants built once per actor."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, k_shingle: int = 3,
-                 seed: int = 42) -> None:
+                 seed: int = 42, num_parts: int = 64) -> None:
         rng = np.random.default_rng(seed)
+        self.num_parts = num_parts
         # multiply-shift universal hashing in native uint64 wraparound —
         # fully vectorized (no object-dtype big-int mod-prime math)
         self.a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) | np.uint64(1)
@@ -149,13 +154,14 @@ class MinHasher:
                 hashes.append(np.int64(h))
                 ids.append(doc_id)
         out = pd.DataFrame({"band": bands, "band_hash": hashes, "doc_id": ids})
-        out["part"] = out["band_hash"] % 64
+        out["part"] = out["band_hash"] % self.num_parts
         return out
 
 
 def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
                        k_shingle: int = 3, concurrency: int = 4,
-                       pairs: str = "chain", clique_cap: int = 256):
+                       pairs: str = "chain", clique_cap: int = 256,
+                       rows_hint: int | None = None):
     """documents -> candidate duplicate pairs (doc_a < doc_b) from LSH
     band collisions (deduped).
 
@@ -165,11 +171,17 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
     pairs — required when the CONSUMER needs pairwise completeness
     (e.g. exact near-dup pair listings); quadratic per bucket, so
     buckets above clique_cap ids degrade to chains (skew guard — a
-    bucket that large is a degenerate band, not a dup cluster)."""
+    bucket that large is a degenerate band, not a dup cluster).
+    The band-collision exchange moves `bands` rows per doc; its bucket
+    count scales from that volume via rows_hint (auto_buckets)."""
+    from .shuffle import auto_buckets
+
+    num_parts = auto_buckets(rows_hint * bands if rows_hint else None)
     banded = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
-                               "k_shingle": k_shingle},
+                               "k_shingle": k_shingle,
+                               "num_parts": num_parts},
         batch_format="pandas",
         concurrency=concurrency,
     )
@@ -211,7 +223,7 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
     from .shuffle import bucket_partitions
 
     return banded.groupby(
-        "part", num_partitions=bucket_partitions(64)
+        "part", num_partitions=bucket_partitions(num_parts)
     ).map_groups(bucket_pairs, batch_format="pandas")
 
 
@@ -224,7 +236,7 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def verify_pairs(pairs_ds, docs_ds, threshold: float = 0.8,
-                 k_shingle: int = 3, num_buckets: int = 32,
+                 k_shingle: int = 3, num_buckets: int | None = None,
                  emit_counts: bool = False, small_threshold: int = 50_000,
                  prefilter_cap: int = 5_000_000):
     """Verify candidate pairs with true n-gram Jaccard — fully
@@ -328,8 +340,18 @@ def verify_pairs(pairs_ds, docs_ds, threshold: float = 0.8,
     # partitions the upstream hash-shuffle map_groups emits
     from . import pathlog
 
-    pairs_ds = pairs_ds.repartition(num_buckets)
     n_pairs = pairs_ds.count()  # pairs_ds is materialized above: free
+    if num_buckets is None:
+        # scale the join/regroup exchanges from the CANDIDATE volume —
+        # the verify moves ~3 rows per pair (two exploded sides + the
+        # regrouped pair), so per-bucket heap stays ~target_rows at any
+        # corpus dup rate (VERDICT r3 #1; was a fixed 32)
+        from .shuffle import auto_buckets
+
+        num_buckets = auto_buckets(3 * n_pairs)
+        pathlog.note("verify_pairs", "auto_buckets", n_pairs=n_pairs,
+                     num_buckets=num_buckets)
+    pairs_ds = pairs_ds.repartition(num_buckets)
     # Candidate-id is_in PREFILTER: an optimization only (the bucket
     # join is inner, so non-candidate docs drop there regardless).
     # Collecting the ids to the driver is bounded by 2x the candidate
@@ -440,7 +462,8 @@ def verify_pairs(pairs_ds, docs_ds, threshold: float = 0.8,
 
 
 def minhash_dedup(docs_ds, threshold: float = 0.8,
-                  num_perm: int = 64, bands: int = 16, k_shingle: int = 3):
+                  num_perm: int = 64, bands: int = 16, k_shingle: int = 3,
+                  rows_hint: int | None = None):
     """Full near-dup flow: LSH candidates -> Jaccard verify (bucket
     join against docs, no driver read) -> connected components ->
     (doc_id, cluster_id) rows; cluster root = min doc_id."""
@@ -449,7 +472,8 @@ def minhash_dedup(docs_ds, threshold: float = 0.8,
     from .canon import components_auto
 
     verified = verify_pairs(
-        minhash_candidates(docs_ds, num_perm, bands, k_shingle),
+        minhash_candidates(docs_ds, num_perm, bands, k_shingle,
+                           rows_hint=rows_hint),
         docs_ds, threshold, k_shingle,
     )
 
@@ -516,7 +540,8 @@ def simhash_dataset(ds, concurrency: int = 4):
 
 
 def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k_shingle: int = 3,
-                        num_perm: int = 64, bands: int = 16):
+                        num_perm: int = 64, bands: int = 16,
+                        rows_hint: int | None = None):
     """n-gram Jaccard near-dup pairs with integer-exact scores: LSH
     candidate generation (banded minhash — candidates are found, never
     all pairs scored) followed by exact k-gram set intersection on the
@@ -531,6 +556,6 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5, k_shingle: int = 3,
     answer. For fuzzier thresholds raise `bands`."""
     return verify_pairs(
         minhash_candidates(docs_ds, num_perm, bands, k_shingle,
-                           pairs="clique"),
+                           pairs="clique", rows_hint=rows_hint),
         docs_ds, threshold, k_shingle, emit_counts=True,
     )

@@ -47,6 +47,25 @@ def _bparts(num_buckets: int = 64) -> int:
     return bucket_partitions(num_buckets)
 
 
+def _tbl_rows(sf_dir: str, table: str) -> int | None:
+    """Footer row count (metadata only, no data read) — sizes the
+    bucket counts of the operator exchanges from the input, the same
+    rows-from-footers idiom the flagship uses (VERDICT r3 #1)."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.read_metadata(
+            os.path.join(sf_dir, f"{table}.parquet")).num_rows
+    except Exception:
+        return None
+
+
+def _auto_b(sf_dir: str, table: str) -> int:
+    from .shuffle import auto_buckets
+
+    return auto_buckets(_tbl_rows(sf_dir, table))
+
+
 def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
     for c, n in cols.items():
         df[c] = df[c].round(n)
@@ -463,12 +482,15 @@ def events_top_users(sf_dir: str) -> pd.DataFrame:
 def events_sessions(sf_dir: str) -> pd.DataFrame:
     """Sessionization (30-min inactivity gap) — the streaming-shaped
     workload: partition by user, order by (ts, event_id) in-group,
-    fold gaps. groupby(user_id).map_groups = the per-key ordered log."""
+    fold gaps. groupby(user_id).map_groups = the per-key ordered log.
+    Bucket count scales from the footer row count (bounded per-bucket
+    heap at any corpus size)."""
     ds = _rp(sf_dir, "events", ["user_id", "ts", "event_id"])
+    nb = _auto_b(sf_dir, "events")
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["ub"] = df["user_id"] % 64
+        df["ub"] = df["user_id"] % nb
         return df
 
     def sess(g: pd.DataFrame) -> pd.DataFrame:
@@ -486,7 +508,7 @@ def events_sessions(sf_dir: str) -> pd.DataFrame:
 
     return (
         ds.map_batches(bucket, batch_format="pandas")
-        .groupby("ub", num_partitions=_bparts(64))
+        .groupby("ub", num_partitions=_bparts(nb))
         .map_groups(sess, batch_format="pandas")
         .to_pandas()[["user_id", "n_sessions", "n_events"]]
         .sort_values("user_id")
@@ -526,7 +548,7 @@ def dedup_exact_docs(sf_dir: str) -> pd.DataFrame:
 
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     return (
-        exact_dedup(docs)
+        exact_dedup(docs, rows_hint=_tbl_rows(sf_dir, "documents"))
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -580,7 +602,8 @@ def minhash_dup_clusters(sf_dir: str) -> pd.DataFrame:
     from .dedup import minhash_dedup
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    out = minhash_dedup(ds, threshold=0.6)
+    out = minhash_dedup(ds, threshold=0.6,
+                        rows_hint=_tbl_rows(sf_dir, "documents"))
     df = out.to_pandas()
     if df.empty:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
@@ -812,10 +835,11 @@ def events_user_max_gap(sf_dir: str) -> pd.DataFrame:
     mirroring the oracle SQL — pandas .round (half-even) vs DuckDB
     ROUND (half-away) diverge on half-boundary values otherwise."""
     ds = _rp(sf_dir, "events", ["user_id", "ts", "event_id"])
+    nb = _auto_b(sf_dir, "events")
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["ub"] = df["user_id"] % 64
+        df["ub"] = df["user_id"] % nb
         return df
 
     def gaps(g: pd.DataFrame) -> pd.DataFrame:
@@ -835,7 +859,7 @@ def events_user_max_gap(sf_dir: str) -> pd.DataFrame:
 
     return (
         ds.map_batches(bucket, batch_format="pandas")
-        .groupby("ub", num_partitions=_bparts(64))
+        .groupby("ub", num_partitions=_bparts(nb))
         .map_groups(gaps, batch_format="pandas")
         .to_pandas()[["user_id", "max_gap_sec", "n_events"]]
         .sort_values("user_id")
@@ -983,7 +1007,8 @@ def events_rolling_burst(sf_dir: str) -> pd.DataFrame:
 
     ds = _rp(sf_dir, "events", ["user_id", "ts"])
     out = rolling_count(ds, key="user_id", ts="ts",
-                        window=pd.Timedelta(hours=4)).to_pandas()
+                        window=pd.Timedelta(hours=4),
+                        rows_hint=_tbl_rows(sf_dir, "events")).to_pandas()
     out["peak"] = out["peak"].astype("int64")
     out["n_events"] = out["n_events"].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
@@ -1001,6 +1026,7 @@ def events_asof_purchase_click(sf_dir: str) -> pd.DataFrame:
         left_mask_fn=lambda df: df["event_type"].eq("purchase"),
         right_mask_fn=lambda df: df["event_type"].eq("click"),
         right_ts_out="click_ts",
+        rows_hint=_tbl_rows(sf_dir, "events"),
     ).to_pandas()
     # NaT-safe integer microseconds: the Timedelta division yields
     # integer-valued float64 (exact below 2**53 us ~ 285 years)
@@ -1029,6 +1055,7 @@ def events_range_pairs(sf_dir: str) -> pd.DataFrame:
         ds, key="user_id", ts="ts", window=pd.Timedelta(hours=12),
         left_mask_fn=lambda df: df["event_type"].eq("purchase"),
         right_mask_fn=lambda df: df["event_type"].eq("view"),
+        rows_hint=_tbl_rows(sf_dir, "events"),
     ).to_pandas()
     out["n_pairs"] = out["n_pairs"].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
@@ -1041,7 +1068,8 @@ def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     from .dedup import ngram_jaccard_pairs as pairs_op
 
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
-    df = pairs_op(docs, threshold=0.5, k_shingle=3).to_pandas()
+    df = pairs_op(docs, threshold=0.5, k_shingle=3,
+                  rows_hint=_tbl_rows(sf_dir, "documents")).to_pandas()
     if df.empty:
         return pd.DataFrame({c: pd.Series([], dtype="int64")
                              for c in ["doc_a", "doc_b", "n_inter", "n_union"]})
@@ -1292,7 +1320,8 @@ def events_rolling_value(sf_dir: str) -> pd.DataFrame:
 
     out = rolling_sum(ds.map_batches(to_cents, batch_format="pyarrow"),
                       key="user_id", ts="ts", val="cents",
-                      window=pd.Timedelta(hours=4)).to_pandas()
+                      window=pd.Timedelta(hours=4),
+                      rows_hint=_tbl_rows(sf_dir, "events")).to_pandas()
     out["peak_4h_value"] = out["peak_sum"].astype("int64") / 100.0
     out["n_events"] = out["n_events"].astype("int64")
     return (
@@ -1536,10 +1565,11 @@ def events_retention(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Sum
 
     ds = _rp(sf_dir, "events", ["user_id", "ts"])
+    nb = _auto_b(sf_dir, "events")
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["ub"] = df["user_id"] % 64
+        df["ub"] = df["user_id"] % nb
         return df
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
@@ -1562,7 +1592,7 @@ def events_retention(sf_dir: str) -> pd.DataFrame:
 
     out = (
         ds.map_batches(bucket, batch_format="pandas")
-        .groupby("ub", num_partitions=_bparts(64))
+        .groupby("ub", num_partitions=_bparts(nb))
         .map_groups(fold, batch_format="pandas")
         .groupby("cohort")
         .aggregate(Sum("n_users", alias_name="n_users"),

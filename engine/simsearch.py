@@ -215,7 +215,9 @@ class MultiLsh:
 def cosine_pairs_blocked(emb_ds, threshold: float, dim: int,
                          id_col: str = "vec_id", emb_col: str = "embedding",
                          n_tables: int = 16, n_planes: int = 8,
-                         num_buckets: int = 64, bucket_warn: int = 10_000):
+                         num_buckets: int | None = None,
+                         bucket_warn: int = 10_000,
+                         rows_hint: int | None = None):
     """Scale path for all-pairs cosine near-dup: LSH-BLOCKED candidates
     with exact in-bucket verification — the minhash->verify design
     applied to embeddings. No driver gather, no full-matrix broadcast
@@ -231,7 +233,13 @@ def cosine_pairs_blocked(emb_ds, threshold: float, dim: int,
     still scored exactly, chunked, with a pathlog note — never a
     silent drop."""
     from . import pathlog
-    from .shuffle import bucket_partitions
+    from .shuffle import auto_buckets, bucket_partitions
+
+    # the exchange moves n_tables rows per vector (each carrying the
+    # embedding), so the shuffle-bucket count scales from that volume
+    # when the caller knows n (VERDICT r3 #1; was a fixed 64)
+    num_buckets = num_buckets or auto_buckets(
+        rows_hint * n_tables if rows_hint else None)
 
     _pair_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
                               ("score", pa.float64()), ("pp", pa.int64())])
@@ -334,7 +342,8 @@ def cosine_pairs(emb_ds, threshold: float,
         pathlog.note("cosine_pairs", "lsh_blocked", n=n,
                      threshold=small_threshold)
         return cosine_pairs_blocked(emb_ds, threshold, dim,
-                                    id_col=id_col, emb_col=emb_col)
+                                    id_col=id_col, emb_col=emb_col,
+                                    rows_hint=n)
     pathlog.note("cosine_pairs", "exact_broadcast", n=n,
                  threshold=small_threshold)
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .shuffle import bucket_partitions
+from .shuffle import auto_buckets, bucket_partitions
 
 def _ts_ns(series: pd.Series) -> np.ndarray:
     """Timestamps to int64 NANOSECONDS regardless of the series
@@ -95,12 +95,15 @@ def _window_bounds_sorted(codes: np.ndarray, ts_ns: np.ndarray,
 
 
 def rolling_count(ds, key: str, ts: str, window: pd.Timedelta,
-                  num_buckets: int = 64):
+                  num_buckets: int | None = None,
+                  rows_hint: int | None = None):
     """Per-row trailing-window event count, aggregated to
     (key, peak, n_events) per key. Matches the SQL RANGE frame exactly:
     the frame is [ts - window, last peer of ts] (equal-ts peers count).
+    num_buckets scales from rows_hint (auto_buckets) unless forced.
     """
     window_ns = int(window / pd.Timedelta(1, "ns"))
+    num_buckets = num_buckets or auto_buckets(rows_hint)
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df[[key, ts]].copy()
@@ -124,8 +127,10 @@ def rolling_count(ds, key: str, ts: str, window: pd.Timedelta,
 
 
 def asof_join(left_ds, right_ds, key: str, ts: str,
-              right_ts_out: str = "matched_ts", num_buckets: int = 64,
-              right_cols: list[str] | None = None):
+              right_ts_out: str = "matched_ts",
+              num_buckets: int | None = None,
+              right_cols: list[str] | None = None,
+              rows_hint: int | None = None):
     """For each left row, attach the greatest right ts <= left ts with
     the same key (backward as-of, exact matches allowed) — DuckDB
     `ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >= r.ts` semantics.
@@ -139,6 +144,7 @@ def asof_join(left_ds, right_ds, key: str, ts: str,
     where unmatched). For non-numeric payloads, equi-join the result's
     (key, matched_ts) back against the right side with
     engine.joins.bucket_join instead."""
+    num_buckets = num_buckets or auto_buckets(rows_hint)
 
     def tag(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -161,13 +167,15 @@ def asof_join(left_ds, right_ds, key: str, ts: str,
 
 def asof_join_single(ds, key: str, ts: str, left_mask_fn, right_mask_fn,
                      right_ts_out: str = "matched_ts",
-                     num_buckets: int = 64,
-                     right_cols: list[str] | None = None):
+                     num_buckets: int | None = None,
+                     right_cols: list[str] | None = None,
+                     rows_hint: int | None = None):
     """asof_join when BOTH sides come from the same source dataset
     (e.g. two event types of one stream): ONE scan tags each row l/r
     via the vectorized mask callbacks (df -> bool mask; a row matching
     both emits twice), instead of two full reads + union. Same bucket
     exchange and per-bucket merge as asof_join."""
+    num_buckets = num_buckets or auto_buckets(rows_hint)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         lm = left_mask_fn(df)
@@ -230,12 +238,15 @@ def _asof_merge(both, key: str, ts: str, right_ts_out: str,
 
 
 def range_join_count(left_ds, right_ds, key: str, ts: str,
-                     window: pd.Timedelta, num_buckets: int = 64):
+                     window: pd.Timedelta,
+                     num_buckets: int | None = None,
+                     rows_hint: int | None = None):
     """Per key: number of (left, right) pairs with right.ts in
     [left.ts - window, left.ts] (inclusive band join), emitted as
     (key, n_pairs) for keys with n_pairs > 0. Same single-shuffle
     packed-union exchange as asof_join; counts via two composite-key
     searchsorted calls per bucket (no pair materialization)."""
+    num_buckets = num_buckets or auto_buckets(rows_hint)
 
     def tag(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -254,10 +265,12 @@ def range_join_count(left_ds, right_ds, key: str, ts: str,
 
 def range_join_count_single(ds, key: str, ts: str, window: pd.Timedelta,
                             left_mask_fn, right_mask_fn,
-                            num_buckets: int = 64):
+                            num_buckets: int | None = None,
+                            rows_hint: int | None = None):
     """range_join_count when both sides come from one source dataset:
     ONE scan tags rows l/r via vectorized mask callbacks (see
     asof_join_single)."""
+    num_buckets = num_buckets or auto_buckets(rows_hint)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         l = df[left_mask_fn(df)][[key, ts]].copy()
@@ -330,7 +343,8 @@ def _range_count(both, key: str, ts: str, window: pd.Timedelta,
 
 
 def rolling_sum(ds, key: str, ts: str, val: str, window: pd.Timedelta,
-                num_buckets: int = 64):
+                num_buckets: int | None = None,
+                rows_hint: int | None = None):
     """Trailing-window SUM of a value column per key, aggregated to
     (key, peak_sum, n_events). Same RANGE-frame semantics and bucket
     exchange as rolling_count; the per-row window sum is a prefix-sum
@@ -342,6 +356,7 @@ def rolling_sum(ds, key: str, ts: str, val: str, window: pd.Timedelta,
     the query layer keeps values integer-quantized (cents) to stay
     oracle-exact."""
     window_ns = int(window / pd.Timedelta(1, "ns"))
+    num_buckets = num_buckets or auto_buckets(rows_hint)
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df[[key, ts, val]].copy()

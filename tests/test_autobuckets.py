@@ -1,0 +1,162 @@
+"""Bucket-count independence + auto-sizing of the operator-library
+exchanges (VERDICT r3 #1): every bucketed co-group operator must produce
+IDENTICAL results with num_buckets forced far above its old fixed
+default — the bucket count is a pure partitioning choice, and it now
+scales from input row counts (engine.shuffle.auto_buckets) so per-bucket
+heap is bounded by a target-rows constant, not corpus size."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+def test_auto_buckets_sizing():
+    from engine.shuffle import auto_buckets
+
+    # floor: 2x cpus when the size is unknown or small
+    assert auto_buckets(None, cpus=32) == 64
+    assert auto_buckets(1_000, cpus=32) == 64
+    assert auto_buckets(None, cpus=8) == 16
+    # scaling region: one bucket per ~262k rows
+    assert auto_buckets(2_621_440, cpus=2) == 10
+    assert auto_buckets(100_000_000, cpus=32) == 382
+    # per-bucket heap bounded by the target, NOT the corpus
+    assert auto_buckets(10**12, cpus=32) == 1 << 20  # cap
+
+
+def _events(n_users=9, per_user=30, seed=5):
+    rng = np.random.default_rng(seed)
+    rows = []
+    base = pd.Timestamp("2024-03-01")
+    for u in range(n_users):
+        t = base
+        for _ in range(per_user):
+            t = t + pd.Timedelta(seconds=int(rng.integers(0, 80)) * 60)
+            rows.append({"user_id": u, "ts": t, "cents": int(rng.integers(1, 500)),
+                         "event_type": ["a", "b"][int(rng.integers(0, 2))]})
+    return pd.DataFrame(rows)
+
+
+def _sorted(df, cols):
+    return df.sort_values(cols).reset_index(drop=True)
+
+
+def test_windows_bucket_count_invariant(ray_session):
+    """rolling_count / rolling_sum / asof_join / range_join_count with
+    num_buckets >> the old fixed 64 match the small-bucket answer."""
+    from engine.windows import (asof_join_single, range_join_count_single,
+                                rolling_count, rolling_sum)
+
+    df = _events()
+    w = pd.Timedelta(hours=1)
+
+    for nb_hi in (997,):
+        small = rolling_count(rd.from_pandas(df[["user_id", "ts"]]),
+                              "user_id", "ts", w, num_buckets=4).to_pandas()
+        big = rolling_count(rd.from_pandas(df[["user_id", "ts"]]),
+                            "user_id", "ts", w, num_buckets=nb_hi).to_pandas()
+        pd.testing.assert_frame_equal(_sorted(small, ["user_id"]),
+                                      _sorted(big, ["user_id"]))
+
+        s2 = rolling_sum(rd.from_pandas(df[["user_id", "ts", "cents"]]),
+                         "user_id", "ts", "cents", w, num_buckets=4).to_pandas()
+        b2 = rolling_sum(rd.from_pandas(df[["user_id", "ts", "cents"]]),
+                         "user_id", "ts", "cents", w,
+                         num_buckets=nb_hi).to_pandas()
+        pd.testing.assert_frame_equal(_sorted(s2, ["user_id"]),
+                                      _sorted(b2, ["user_id"]))
+
+        lm = lambda d: d["event_type"].eq("a")  # noqa: E731
+        rm = lambda d: d["event_type"].eq("b")  # noqa: E731
+        s3 = asof_join_single(rd.from_pandas(df), "user_id", "ts", lm, rm,
+                              num_buckets=4).to_pandas()
+        b3 = asof_join_single(rd.from_pandas(df), "user_id", "ts", lm, rm,
+                              num_buckets=nb_hi).to_pandas()
+        pd.testing.assert_frame_equal(_sorted(s3, ["user_id", "ts"]),
+                                      _sorted(b3, ["user_id", "ts"]))
+
+        s4 = range_join_count_single(rd.from_pandas(df), "user_id", "ts", w,
+                                     lm, rm, num_buckets=4).to_pandas()
+        b4 = range_join_count_single(rd.from_pandas(df), "user_id", "ts", w,
+                                     lm, rm, num_buckets=nb_hi).to_pandas()
+        pd.testing.assert_frame_equal(_sorted(s4, ["user_id"]),
+                                      _sorted(b4, ["user_id"]))
+
+
+def test_bucket_join_bucket_count_invariant(ray_session):
+    from engine.joins import bucket_join
+
+    rng = np.random.default_rng(7)
+    l = pd.DataFrame({"k": rng.integers(0, 50, 300),
+                      "a": rng.integers(0, 9, 300)})
+    r = pd.DataFrame({"k": np.arange(50), "b": np.arange(50) * 10})
+    small = bucket_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                        num_buckets=4).to_pandas()
+    big = bucket_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                      num_buckets=769).to_pandas()
+    auto = bucket_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                       rows_hint=300).to_pandas()
+    key = ["k", "a", "b"]
+    pd.testing.assert_frame_equal(_sorted(small, key), _sorted(big, key))
+    pd.testing.assert_frame_equal(_sorted(small, key), _sorted(auto, key))
+
+
+def _dup_docs(n=60):
+    texts = []
+    for i in range(n):
+        base = f"alpha beta gamma delta epsilon zeta eta theta doc {i % 12}"
+        texts.append(base)
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "text": texts})
+
+
+def test_verify_pairs_bucket_count_invariant(ray_session):
+    """Distributed verify (small_threshold=0 forces it) with forced huge
+    num_buckets matches the driver fast path."""
+    from engine.dedup import minhash_candidates, verify_pairs
+
+    docs = _dup_docs()
+    dd = rd.from_pandas(docs)
+    cands = minhash_candidates(dd, pairs="clique", rows_hint=len(docs))
+    fast = (verify_pairs(cands, dd, 0.5, emit_counts=True)
+            .to_pandas().drop_duplicates(["doc_a", "doc_b"]))
+    cands2 = minhash_candidates(dd, pairs="clique", rows_hint=len(docs))
+    dist = (verify_pairs(cands2, dd, 0.5, emit_counts=True,
+                         small_threshold=0, num_buckets=521)
+            .to_pandas().drop_duplicates(["doc_a", "doc_b"]))
+    key = ["doc_a", "doc_b"]
+    pd.testing.assert_frame_equal(
+        _sorted(fast, key).astype("int64"), _sorted(dist, key).astype("int64"))
+
+
+def test_cosine_blocked_bucket_count_invariant(ray_session):
+    from engine.simsearch import cosine_pairs_blocked
+
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((120, 12))
+    m[60:] = m[:60] + 0.01 * rng.standard_normal((60, 12))  # planted dups
+    emb = pd.DataFrame({"vec_id": np.arange(120, dtype=np.int64),
+                        "embedding": [row.tolist() for row in m]})
+    small = cosine_pairs_blocked(rd.from_pandas(emb), 0.99, 12,
+                                 num_buckets=8).to_pandas()
+    big = cosine_pairs_blocked(rd.from_pandas(emb), 0.99, 12,
+                               num_buckets=1021).to_pandas()
+    auto = cosine_pairs_blocked(rd.from_pandas(emb), 0.99, 12,
+                                rows_hint=120).to_pandas()
+    key = ["vec_a", "vec_b"]
+    for df in (small, big, auto):
+        df["score"] = df["score"].round(9)
+    pd.testing.assert_frame_equal(_sorted(small, key), _sorted(big, key))
+    pd.testing.assert_frame_equal(_sorted(small, key), _sorted(auto, key))
+
+
+def test_exact_dedup_bucket_count_invariant(ray_session):
+    from engine.dedup import exact_dedup
+
+    docs = _dup_docs()
+    a = exact_dedup(rd.from_pandas(docs)).to_pandas()
+    b = exact_dedup(rd.from_pandas(docs),
+                    rows_hint=500_000_000).to_pandas()  # forces huge nb
+    key = ["doc_id"]
+    pd.testing.assert_frame_equal(_sorted(a, key), _sorted(b, key))
