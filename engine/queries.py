@@ -1612,3 +1612,22 @@ QUERIES.update(
         "events_retention": events_retention,
     }
 )
+
+def doc_phrase_mentions(sf_dir: str) -> pd.DataFrame:
+    """M10/G1-G2 on an ORACLED table: greedy longest-match phrase-
+    gazetteer span extraction over documents with per-(surface, label)
+    occurrence multiset indices — the reference mention semantics
+    (ne_evaluate_mentions.py:84-144), DuckDB-mirrored via a recursive
+    CTE built from the same PHRASE_GAZ source of truth. Stateless
+    map_batches; output rows ~ a few per doc, no shuffle at all."""
+    from .textstats import phrase_mentions_batch
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(phrase_mentions_batch,
+                         batch_format="pandas").to_pandas()
+    out["surface"] = out["surface"].astype(str)
+    out["label"] = out["label"].astype(str)
+    return out.sort_values(["doc_id", "start"]).reset_index(drop=True)
+
+
+QUERIES["doc_phrase_mentions"] = doc_phrase_mentions

@@ -159,3 +159,72 @@ def quality_dataset(ds):
 
 def fingerprint_dataset(ds, concurrency: int = 4):
     return ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=concurrency)
+
+
+# Static phrase gazetteer over the documents vocabulary — drives the
+# doc_phrase_mentions query: greedy longest-match span extraction with
+# per-(surface, label) occurrence indices, the reference's mention
+# multiset semantics (ne_evaluate_mentions.py:84-144 / api_main.py:
+# 380-419) applied to an ORACLED table (documents) so the span/occ
+# machinery itself is DuckDB-checked, not just rows-only via the KG
+# track. The dict is the single source of truth: __ray_entry__ mirrors
+# it into the recursive-CTE SQL oracle (the lang-profile trick).
+PHRASE_GAZ: dict[tuple[str, ...], str] = {
+    ("sort", "merge", "join"): "ALGO",  # 3-word beats its own 2/1 prefixes
+    ("sort", "merge"): "ALGO",
+    ("hash", "join"): "ALGO",
+    ("merge", "join"): "ALGO",
+    ("table", "scan"): "PLAN",
+    ("row", "group"): "STOR",
+    ("join",): "ALGO",   # bare fallback when no 2-gram matched
+    ("scan",): "PLAN",
+    ("spark",): "SYS",
+}
+_GAZ_MAX = max(len(k) for k in PHRASE_GAZ)
+_GAZ_FIRST = frozenset(k[0] for k in PHRASE_GAZ)
+
+
+def phrase_mentions_batch(df: pd.DataFrame, col: str = "text",
+                          id_col: str = "doc_id") -> pd.DataFrame:
+    """Greedy longest-match phrase spans (left to right, skip past a
+    match — GazetteerScorer.find_spans semantics) + occ multiset index
+    per (surface, label) within a document. The scan only visits
+    positions whose token is a gazetteer first word."""
+    ids, surfaces, labels, starts, ends, occs = [], [], [], [], [], []
+    for doc_id, text in zip(df[id_col], df[col]):
+        toks = text.split(_WS)
+        n = len(toks)
+        seen: dict[tuple[str, str], int] = {}
+        i = 0
+        while i < n:
+            if toks[i] not in _GAZ_FIRST:
+                i += 1
+                continue
+            hit = None
+            for L in range(min(_GAZ_MAX, n - i), 0, -1):
+                lab = PHRASE_GAZ.get(tuple(toks[i:i + L]))
+                if lab is not None:
+                    hit = (L, lab)
+                    break
+            if hit is None:
+                i += 1
+                continue
+            L, lab = hit
+            surface = _WS.join(toks[i:i + L])
+            k = (surface, lab)
+            seen[k] = seen.get(k, 0) + 1
+            ids.append(doc_id)
+            surfaces.append(surface)
+            labels.append(lab)
+            starts.append(i)
+            ends.append(i + L)
+            occs.append(seen[k])
+            i += L
+    return pd.DataFrame({
+        id_col: pd.Series(ids, dtype="int64"),
+        "surface": pd.Series(surfaces, dtype="string"),
+        "label": pd.Series(labels, dtype="string"),
+        "start": pd.Series(starts, dtype="int64"),
+        "end": pd.Series(ends, dtype="int64"),
+        "occ": pd.Series(occs, dtype="int64"),
+    })
