@@ -60,6 +60,18 @@ def _fnv64(s: str) -> int:
     return h
 
 
+def token_yap_morphs(token: str) -> tuple[str, ...]:
+    """MD segmentation of one token over the UNPRUNED lattice (the
+    morph_yap scenario route: md_select(lattice) with no NER-count
+    pruning, nemo.py:276-305). Same most-split / lex-smallest policy,
+    candidates never filtered. Pure per-token."""
+    if "'" not in token:
+        return (token,)
+    cands = candidate_segmentations(token)
+    cands.sort()
+    return tuple(max(cands, key=len))
+
+
 def token_md_morphs(token: str) -> tuple[str, ...]:
     """MD segmentation of one token under the hybrid track: candidates
     from the analyzer, pruned to paths whose length equals the
@@ -107,8 +119,9 @@ class _Registry:
 
         self._codes: dict[str, int] = {}
         # per-code columns: norm_core, cat_core, bif_core, norm_form,
-        # cat_form, bif_form, lower, relf, rel1, morphs
-        self._cols: list[list] = [[] for _ in range(10)]
+        # cat_form, bif_form, lower, relf, rel1, morphs (pruned-MD),
+        # yap_morphs (unpruned MD)
+        self._cols: list[list] = [[] for _ in range(11)]
         self._arrays: list[np.ndarray] | None = None
 
     def _register(self, s: str) -> int:
@@ -129,6 +142,7 @@ class _Registry:
         cols[7].append(lo in self._rfirst)
         cols[8].append(self.rel1.get(lo))
         cols[9].append(token_md_morphs(s))
+        cols[10].append(token_yap_morphs(s))
         self._arrays = None
         return code
 
@@ -406,3 +420,236 @@ def extract_packs(extractor: BatchKgExtractor, batch: pa.Table,
             ),
         }
     )
+
+
+def _ments_from_spans(spans, surfaces: list[str]):
+    """[(st, en, cat)] + member surfaces -> [(surface, label, st, en,
+    occ)] with the per-(surface, label) multiset index assigned in scan
+    order (ne_evaluate_mentions.py:116-122 semantics)."""
+    seen: dict[tuple[str, str], int] = {}
+    out = []
+    for st, en, cat in spans:
+        surface = " ".join(surfaces[st:en])
+        k = (surface, cat)
+        seen[k] = seen.get(k, 0) + 1
+        out.append((surface, cat, st, en, seen[k]))
+    return out
+
+
+def _survivor_spans(core_spans, last_morph):
+    """multi_align reduction (module docstring): which token-core spans
+    survive soft-merge onto the morph axis, in morph coordinates."""
+    out = []
+    for st, en, cat in core_spans:
+        if en - st == 1:
+            p = last_morph[st]
+            out.append((p, p + 1, cat))
+        elif all(last_morph[t] - last_morph[t - 1] == 1
+                 for t in range(st + 1, en)):
+            out.append((last_morph[st], last_morph[en - 1] + 1, cat))
+    return out
+
+
+def _token_tags_from_form_spans(form_spans, tok_counts: list[int]
+                                ) -> list[str]:
+    """morph_hybrid_tok fold (nemo.py:217-226 semantics): expand the
+    morph-axis spans to per-morpheme BIOSE, group by token, fix each
+    touched token's intra-token sequence to one tag. Untouched tokens
+    are all-O -> 'O' without calling the fix chain (an all-O sequence
+    can never fix to a span tag, and only span tags affect mentions)."""
+    from .ops.labels import get_fixed_bio_sequence
+
+    nf = sum(tok_counts)
+    lab = ["O"] * nf
+    touched = [False] * len(tok_counts)
+    bounds = []
+    pos = 0
+    for c in tok_counts:
+        bounds.append((pos, pos + c))
+        pos += c
+    for st, en, cat in form_spans:
+        if en - st == 1:
+            lab[st] = "S-" + cat
+        else:
+            lab[st] = "B-" + cat
+            for j in range(st + 1, en - 1):
+                lab[j] = "I-" + cat
+            lab[en - 1] = "E-" + cat
+    # mark tokens whose morph range intersects any span
+    ti = 0
+    for st, en, _cat in form_spans:
+        for ti in range(len(bounds)):
+            b0, b1 = bounds[ti]
+            if b1 > st and b0 < en:
+                touched[ti] = True
+    tags = []
+    for ti, (b0, b1) in enumerate(bounds):
+        tags.append(
+            get_fixed_bio_sequence(tuple(lab[b0:b1])) if touched[ti] else "O")
+    return tags
+
+
+class BatchMentionExtractor:
+    """Vectorized batch implementation of SentenceProcessor +
+    scenario_mentions for ALL five scenario levels (the engine.pipeline
+    MentionExtractor surface; VERDICT r3 #4): one regex tokenize pass,
+    one token-core span pass (token_single and every level of
+    apostrophe-free rows), and for apostrophe-bearing rows two more
+    batch span passes over the memoized pruned-MD and unpruned-YAP form
+    streams. tests/test_fastpath.py asserts literal equality with the
+    per-row reference path level by level."""
+
+    def __init__(self, levels: tuple[str, ...] | None = None) -> None:
+        from .kgflow import SCENARIOS
+
+        self.reg = _Registry()
+        self.levels = tuple(levels) if levels else SCENARIOS
+
+    def extract(self, texts: list[str]) -> list[dict[str, list[tuple]]]:
+        from .ops.spans import mentions_with_occ
+
+        levels = self.levels
+        lv = set(levels)
+        n_rows = len(texts)
+        if n_rows == 0:
+            return []
+        reg = self.reg
+        flat, counts = _tokenize_batch(texts)
+        codes = reg.encode(flat)
+
+        row_start: list[int] = []
+        row_of: list[int] = []
+        s = 0
+        for r, c in enumerate(counts):
+            row_start.append(s)
+            row_of.extend([r] * c)
+            s += c
+        row_end = [a + c for a, c in zip(row_start, counts)]
+
+        need_forms = bool(lv & {"multi_align", "morph_hybrid",
+                                "morph_hybrid_tok"})
+        need_yap = "morph_yap" in lv
+        slow = ["'" in t for t in texts]
+
+        # build the slow-row form streams BEFORE fetching any arrays
+        # (encode may register new strings and rebuild the mirrors)
+        morphs9 = reg._cols[9]
+        yap10 = reg._cols[10]
+        forms: list[str] = []
+        yforms: list[str] = []
+        h_start: dict[int, int] = {}
+        y_start: dict[int, int] = {}
+        h_row_of: list[int] = []
+        y_row_of: list[int] = []
+        h_starts: list[int] = []
+        h_ends: list[int] = []
+        y_starts: list[int] = []
+        y_ends: list[int] = []
+        tok_counts: dict[int, list[int]] = {}
+        last_morph: dict[int, list[int]] = {}
+        for r in range(n_rows):
+            if not slow[r]:
+                continue
+            sr = len(h_starts)
+            if need_forms:
+                s0 = len(forms)
+                h_start[r] = s0
+                cnts: list[int] = []
+                lm: list[int] = []
+                for pos in range(row_start[r], row_end[r]):
+                    m = morphs9[codes[pos]]
+                    forms.extend(m)
+                    cnts.append(len(m))
+                    lm.append(len(forms) - s0 - 1)
+                tok_counts[r] = cnts
+                last_morph[r] = lm
+                h_row_of.extend([sr] * (len(forms) - s0))
+                h_starts.append(s0)
+                h_ends.append(len(forms))
+            if need_yap:
+                s0 = len(yforms)
+                y_start[r] = s0
+                for pos in range(row_start[r], row_end[r]):
+                    yforms.extend(yap10[codes[pos]])
+                y_row_of.extend([len(y_starts)] * (len(yforms) - s0))
+                y_starts.append(s0)
+                y_ends.append(len(yforms))
+
+        fc = reg.encode(forms) if forms else None
+        yc = reg.encode(yforms) if yforms else None
+        cols = reg.arrays()  # fetch once, after ALL registrations
+
+        spans_a = _greedy_spans(cols[0][codes], cols[1][codes],
+                                cols[2][codes], row_of, row_start, row_end,
+                                reg.gazN, reg.max_len)
+        spans_b = (_greedy_spans(cols[3][fc], cols[4][fc], cols[5][fc],
+                                 h_row_of, h_starts, h_ends,
+                                 reg.gazN, reg.max_len)
+                   if fc is not None else {})
+        spans_c = (_greedy_spans(cols[3][yc], cols[4][yc], cols[5][yc],
+                                 y_row_of, y_starts, y_ends,
+                                 reg.gazN, reg.max_len)
+                   if yc is not None else {})
+
+        results: list[dict[str, list[tuple]]] = []
+        sr = -1
+        for r in range(n_rows):
+            rs, re_ = row_start[r], row_end[r]
+            toks = flat[rs:re_]
+            core_spans = spans_a.get(r, ())
+            if not slow[r]:
+                # every level reduces to the token-core span pass
+                ml = _ments_from_spans(core_spans, toks)
+                results.append({lvl: ml for lvl in levels})
+                continue
+            sr += 1
+            out: dict[str, list[tuple]] = {}
+            if "token_single" in lv:
+                out["token_single"] = _ments_from_spans(core_spans, toks)
+            if need_forms:
+                row_forms = forms[h_starts[sr]:h_ends[sr]]
+                bspans = spans_b.get(sr, ())
+                if "morph_hybrid" in lv:
+                    out["morph_hybrid"] = _ments_from_spans(bspans, row_forms)
+                if "multi_align" in lv:
+                    out["multi_align"] = _ments_from_spans(
+                        _survivor_spans(core_spans, last_morph[r]), row_forms)
+                if "morph_hybrid_tok" in lv:
+                    tags = _token_tags_from_form_spans(bspans, tok_counts[r])
+                    out["morph_hybrid_tok"] = mentions_with_occ(toks, tags)
+            if need_yap:
+                out["morph_yap"] = _ments_from_spans(
+                    spans_c.get(sr, ()), yforms[y_starts[sr]:y_ends[sr]])
+            results.append({lvl: out[lvl] for lvl in levels})
+        return results
+
+
+class BatchDepExtractor:
+    """Vectorized batch analog of SentenceProcessor(with_dep=True) for
+    the DEP_TURNS surface (VERDICT r3 #4): the per-turn morpheme list
+    comes from the memoized per-token pruned-MD segmentation (registry
+    col 9 == md_select(prune_lattice(...)) per token), dep_info is the
+    cheap per-turn zip (ops/lattice.py:237)."""
+
+    def __init__(self) -> None:
+        self.reg = _Registry()
+
+    def extract(self, texts: list[str]):
+        """Per row: (morph_forms, morph_token_ids, dep_info)."""
+        from .ops.lattice import dep_info
+
+        flat, counts = _tokenize_batch(texts)
+        codes = self.reg.encode(flat)
+        morphs9 = self.reg._cols[9]
+        results = []
+        pos = 0
+        for c in counts:
+            morphs: list[tuple[str, int]] = []
+            for tid in range(1, c + 1):
+                for f in morphs9[codes[pos + tid - 1]]:
+                    morphs.append((f, tid))
+            pos += c
+            results.append(([f for f, _ in morphs],
+                            [t for _, t in morphs],
+                            dep_info(morphs)))
+        return results

@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .canon import components_auto
-from .kgflow import SCENARIOS, SentenceProcessor, scenario_mentions
+from .kgflow import SCENARIOS
 from .schema import MENTIONS, TRIPLES, stable_sent_id
 
 def fnv_bucket(s: str, buckets: int) -> int:
@@ -179,24 +179,30 @@ def tune_for_session() -> None:
 
 
 class MentionExtractor:
-    """Actor stage: transcript turns in, flat mention rows out
-    (scorer/analyzer state built once per actor)."""
+    """Actor stage: transcript turns in, flat mention rows out.
+    Batch-vectorized via engine.fastpath.BatchMentionExtractor (one
+    regex tokenize pass, memoized per-token state, batched span scans
+    for all five scenario levels) — literal output equality with the
+    per-row SentenceProcessor reference path is asserted by
+    tests/test_fastpath.py."""
 
     def __init__(self, levels: tuple[str, ...] = SCENARIOS) -> None:
-        self.sp = SentenceProcessor()
+        from .fastpath import BatchMentionExtractor
+
+        self.ex = BatchMentionExtractor(levels)
         self.levels = levels
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {k: [] for k in ("sent_id", "conv_id", "turn_idx", "level",
                                "surface", "label", "start", "end", "occ")}
-        for conv_id, turn_idx, text in zip(
+        results = self.ex.extract(batch["text"].to_pylist())
+        for conv_id, turn_idx, per_level in zip(
             batch["conv_id"].to_pylist(),
             batch["turn_idx"].to_pylist(),
-            batch["text"].to_pylist(),
+            results,
         ):
-            rec = self.sp.process(text, levels=self.levels)
             sid = stable_sent_id(conv_id, turn_idx)
-            for level, ml in scenario_mentions(rec, self.levels).items():
+            for level, ml in per_level.items():
                 for surface, label, start, end, occ in ml:
                     out["sent_id"].append(sid)
                     out["conv_id"].append(conv_id)
@@ -568,28 +574,31 @@ class DepProcessor:
     """Actor stage for the J9 verbosity-2 surface: transcript turns in,
     per-turn morpheme rows with (id, head, deprel) out as a
     list<struct> column (api_main.py:338-351 zip semantics via
-    ops/lattice.dep_info; keep_intermediate analog of config.py)."""
+    ops/lattice.dep_info; keep_intermediate analog of config.py).
+    Batch-vectorized via engine.fastpath.BatchDepExtractor (memoized
+    per-token pruned-MD segmentation; no per-row scorer/lattice work) —
+    output equality with SentenceProcessor(with_dep=True) asserted in
+    tests/test_fastpath.py."""
 
     def __init__(self) -> None:
-        self.sp = SentenceProcessor()
+        from .fastpath import BatchDepExtractor
+
+        self.ex = BatchDepExtractor()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .schema import DEP_TURNS
 
         rows = {"conv_id": [], "turn_idx": [], "sent_id": [], "morphs": []}
-        for conv_id, turn_idx, text in zip(
+        results = self.ex.extract(batch["text"].to_pylist())
+        for conv_id, turn_idx, (forms, tids, dep) in zip(
             batch["conv_id"].to_pylist(),
             batch["turn_idx"].to_pylist(),
-            batch["text"].to_pylist(),
+            results,
         ):
-            rec = self.sp.process(text, levels=("morph_hybrid",),
-                                  with_dep=True)
             morphs = [
                 {"id": mid, "form": form, "token_id": tid,
                  "head": head, "deprel": rel}
-                for (form, tid), (mid, head, rel) in zip(
-                    zip(rec["morph_forms"], rec["morph_token_ids"]),
-                    rec["dep_info"])
+                for form, tid, (mid, head, rel) in zip(forms, tids, dep)
             ]
             rows["conv_id"].append(conv_id)
             rows["turn_idx"].append(turn_idx)

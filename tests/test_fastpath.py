@@ -86,3 +86,46 @@ def test_extract_packs_drops_mention_free_turns():
     assert sorted((e[0], e[1]) for e in entries) == [("c1", 0), ("c2", 0)]
     for e in entries:
         assert e[3]  # mentions present
+
+
+def test_batch_mention_extractor_matches_reference_all_levels():
+    """VERDICT r3 #4: the vectorized MentionExtractor backend must equal
+    scenario_mentions(SentenceProcessor.process(...)) literally, for all
+    five scenario levels, on a corpus slice plus the edge texts."""
+    from engine.fastpath import BatchMentionExtractor
+    from engine.kgflow import SCENARIOS, scenario_mentions
+
+    texts = make_transcripts_local(150)["text"].to_pylist() + EDGE_TEXTS
+    sp = SentenceProcessor()
+    ref = [scenario_mentions(sp.process(t, levels=SCENARIOS), SCENARIOS)
+           for t in texts]
+    got = BatchMentionExtractor(SCENARIOS).extract(texts)
+    assert len(got) == len(ref)
+    for g, r, t in zip(got, ref, texts):
+        assert g == r, t
+
+
+def test_batch_mention_extractor_level_subset():
+    from engine.fastpath import BatchMentionExtractor
+    from engine.kgflow import scenario_mentions
+
+    levels = ("token_single", "morph_yap")
+    texts = make_transcripts_local(40)["text"].to_pylist() + EDGE_TEXTS
+    sp = SentenceProcessor()
+    ref = [scenario_mentions(sp.process(t, levels=levels), levels)
+           for t in texts]
+    got = BatchMentionExtractor(levels).extract(texts)
+    assert got == ref
+
+
+def test_batch_dep_extractor_matches_reference():
+    from engine.fastpath import BatchDepExtractor
+
+    texts = make_transcripts_local(80)["text"].to_pylist() + EDGE_TEXTS
+    sp = SentenceProcessor()
+    got = BatchDepExtractor().extract(texts)
+    for t, (forms, tids, dep) in zip(texts, got):
+        rec = sp.process(t, levels=("morph_hybrid",), with_dep=True)
+        assert forms == rec["morph_forms"], t
+        assert tids == rec["morph_token_ids"], t
+        assert dep == rec["dep_info"], t
