@@ -176,31 +176,41 @@ def relation_candidates(
     return out
 
 
-def resolve_conversation(turns: list[dict], emit_entities: bool = True
-                         ) -> tuple[list[dict], list[dict]]:
-    """Conversation-scoped entity linking + triple emission.
+def resolve_entries(entries: list[tuple], emit_entities: bool = True
+                    ) -> tuple[list[dict], list[dict]]:
+    """Conversation-scoped entity linking + triple emission over a
+    whole BUCKET of turn entries in one call.
 
-    ``turns``: per-turn dicts sorted by turn_idx with keys
-      conv_id, turn_idx, sent_id, mentions (morph_hybrid level:
-      [(surface, label, start, end, occ)]), rels ([(i, pred, j)]).
+    ``entries``: [(conv_id, turn_idx, sent_id, mentions, rels)] sorted
+    by (conv_id, turn_idx); mentions are morph_hybrid-level
+    [(surface, label, start, end, occ)], rels are [(i, pred, j)].
 
     Linking walk (deterministic, ORDER-DEPENDENT — this is why the
     groupby(conv_id)+sort(turn_idx) reassembly shuffle exists): an
     ambiguous alias resolves to the candidate canon seen EARLIEST so far
     in this conversation, else to the lexicographically-smallest
-    candidate; unknown surfaces get a nil key (engine.link).
+    candidate; unknown surfaces get a nil key (engine.link). The
+    per-conversation ``seen`` state resets inline on conv_id change —
+    one call per bucket instead of one flush per conversation
+    (VERDICT r3 #6: the per-conversation closure + per-call imports
+    were ~40% of the resolve wall at 39k conversations/bucket).
 
     Returns (entity rows, triple rows). Triple subj/obj are canon ids.
     """
     from .link import ALIAS_INDEX, nil_key
 
+    alias_get = ALIAS_INDEX.get
     seen: dict[str, int] = {}
     entities: list[dict] = []
     triples: list[dict] = []
-    for turn in turns:
+    cur = None
+    for conv_id, turn_idx, sent_id, ments, rels in entries:
+        if conv_id != cur:
+            seen = {}
+            cur = conv_id
         canons: list[str] = []
-        for surface, label, start, end, occ in turn["mentions"]:
-            cands = ALIAS_INDEX.get(surface.lower())
+        for surface, label, start, end, occ in ments:
+            cands = alias_get(surface.lower())
             if not cands:
                 canon = nil_key(surface)
                 score = 0.0
@@ -213,29 +223,42 @@ def resolve_conversation(turns: list[dict], emit_entities: bool = True
                 else:
                     canon = cands[0]
                 score = 0.9
-            if not canon.startswith("nil:") and canon not in seen:
+            if canon not in seen and not canon.startswith("nil:"):
                 seen[canon] = len(seen)
             canons.append(canon)
             if emit_entities:
                 entities.append(
                     {
-                        "mention_id": f"{turn['sent_id']}:{start}",
-                        "conv_id": turn["conv_id"],
-                        "turn_idx": turn["turn_idx"],
+                        "mention_id": f"{sent_id}:{start}",
+                        "conv_id": conv_id,
+                        "turn_idx": turn_idx,
                         "surface": surface,
                         "label": label,
                         "canon_id": canon,
                         "score": score,
                     }
                 )
-        for i, pred, j in turn["rels"]:
+        for i, pred, j in rels:
             triples.append(
                 {
                     "subj": canons[i],
                     "pred": pred,
                     "obj": canons[j],
-                    "conv_id": turn["conv_id"],
-                    "turn_idx": turn["turn_idx"],
+                    "conv_id": conv_id,
+                    "turn_idx": turn_idx,
                 }
             )
     return entities, triples
+
+
+def resolve_conversation(turns: list[dict], emit_entities: bool = True
+                         ) -> tuple[list[dict], list[dict]]:
+    """Single-conversation wrapper over resolve_entries (the oracle's
+    entry point; ``turns``: per-turn dicts sorted by turn_idx). One
+    shared walk implementation — the distributed bucket path and the
+    oracle cannot drift."""
+    return resolve_entries(
+        [(t["conv_id"], t["turn_idx"], t["sent_id"], t["mentions"],
+          t["rels"]) for t in turns],
+        emit_entities=emit_entities,
+    )

@@ -272,7 +272,7 @@ def _resolve_bucket(group: pa.Table, emit: str) -> pa.Table:
     (no silent caps) rather than silently truncated."""
     import pickle
 
-    from .kgflow import resolve_conversation
+    from .kgflow import resolve_entries
 
     entries: list[tuple] = []
     for payload in group["payload"].to_pylist():
@@ -283,36 +283,13 @@ def _resolve_bucket(group: pa.Table, emit: str) -> pa.Table:
         pathlog.note("kg_pipeline", "oversized_bucket",
                      turn_entries=len(entries),
                      target=_TARGET_ROWS_PER_BUCKET)
-    entries.sort(key=lambda e: (e[0], e[1]))  # (conv_id, turn_idx)
+    # plain tuple sort: (conv_id, turn_idx) lead and are unique per
+    # entry, so no key lambda is needed (comparison never reaches the
+    # payload fields)
+    entries.sort()
 
-    entities: list[dict] = []
-    triples: list[dict] = []
-    turns: list[dict] = []
-    cur = None
-
-    emit_entities = emit == "entities"
-
-    def flush():
-        if turns:
-            e, t = resolve_conversation(turns, emit_entities=emit_entities)
-            entities.extend(e)
-            triples.extend(t)
-            turns.clear()
-
-    for conv_id, turn_idx, sent_id, ments, rels in entries:
-        if conv_id != cur:
-            flush()
-            cur = conv_id
-        turns.append(
-            {
-                "conv_id": conv_id,
-                "turn_idx": turn_idx,
-                "sent_id": sent_id,
-                "mentions": ments,
-                "rels": rels,
-            }
-        )
-    flush()
+    entities, triples = resolve_entries(entries,
+                                        emit_entities=emit == "entities")
     if emit == "entities":
         return pa.Table.from_pylist(entities, schema=_ENTITY_SCHEMA)
     return pa.Table.from_pylist(triples, schema=TRIPLES)
