@@ -301,3 +301,38 @@ def test_cosine_pairs_blocked_matches_exact(ray_session):
     exp_scores = {(a, b): sims[a, b] for a, b in exp}
     for a, b, s in zip(got["vec_a"], got["vec_b"], got["score"]):
         assert abs(exp_scores[(a, b)] - s) < 1e-12
+
+
+def test_blocked_cosine_recall_bound(ray_session):
+    """Measured LSH recall >= the documented probabilistic bound on a
+    dup-heavy corpus (VERDICT r3 #8; full-size probe:
+    scripts/lsh_recall.py, recorded in BASELINE.md)."""
+    import numpy as np
+    import pandas as pd
+
+    from engine.simsearch import cosine_pairs_blocked
+
+    rng = np.random.default_rng(99)
+    half, d = 600, 16
+    base = rng.standard_normal((half, d))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    eps = rng.uniform(0.03, 0.47, size=(half, 1))
+    noise = rng.standard_normal((half, d))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    dup = base + eps * noise
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    m = np.vstack([base, dup])
+    n = len(m)
+    sims = m @ m.T
+    for thr, bound in ((0.95, 0.999862), (0.99, 0.999999)):
+        rows, cols = np.nonzero(np.triu(sims >= thr, k=1))
+        truth = set(zip(rows.tolist(), cols.tolist()))
+        emb = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                            "embedding": [r.tolist() for r in m]})
+        got = cosine_pairs_blocked(rd.from_pandas(emb), thr, d,
+                                   rows_hint=n).to_pandas()
+        found = set(zip(got["vec_a"].astype(int), got["vec_b"].astype(int)))
+        assert not (found - truth), "blocked path emitted false positives"
+        recall = len(truth & found) / len(truth)
+        # small-sample slack: one missed pair at ~200 true pairs
+        assert recall >= bound - 0.01, (thr, recall)
