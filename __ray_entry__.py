@@ -492,6 +492,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT t AS term, COUNT(*) AS n
             FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(t)
             GROUP BY 1 ORDER BY n DESC, term LIMIT 20""",
+        "customers_without_orders": """
+            SELECT n.n_name, COUNT(*) AS n_customers
+            FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 300000)
+            GROUP BY 1 ORDER BY 1""",
+        "suppliers_with_returns": """
+            SELECT n.n_name, COUNT(*) AS n_suppliers
+            FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_suppkey = s.s_suppkey
+                            AND l.l_returnflag = 'R'
+                            AND l.l_quantity > 49)
+            GROUP BY 1 ORDER BY 1""",
+        "events_top3_per_user": """
+            SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS rank,
+                   event_id, ROUND(value, 6) AS value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY value DESC, ts, event_id)
+            QUALIFY row_number() OVER w <= 3
+            ORDER BY user_id, rank""",
         "doc_phrase_mentions": _phrase_mentions_oracle(),
         "lang_id_docs": _lang_id_oracle(),
         "fingerprint_docs": _fingerprint_oracle(),

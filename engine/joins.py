@@ -9,6 +9,9 @@ joins — its joins are positional zips — so these are engine-native).
                    map_groups — an explicit partitioned hash join that
                    works on any Ray version; Dataset.join (Ray >= 2.46
                    hash-shuffle join) is used elsewhere when available.
+                   how: inner / left / semi / anti — the existence
+                   joins (semi/anti) consult only the right side's key
+                   columns, so right duplicates never multiply rows.
                    Skewed hot keys: raise B or pre-salt the key.
 """
 
@@ -93,7 +96,8 @@ def bucket_join(left, right, on: list[str] | str,
 
     l_cols = list(left.schema().names)
     r_cols = list(right.schema().names)
-    out_cols = l_cols + [c for c in r_cols if c not in l_cols]
+    out_cols = (l_cols if how in ("semi", "anti")
+                else l_cols + [c for c in r_cols if c not in l_cols])
 
     lds = left.map_batches(pack("l"), batch_format="pandas")
     rds = right.map_batches(pack("r"), batch_format="pandas")
@@ -105,6 +109,18 @@ def bucket_join(left, right, on: list[str] | str,
         if not frames["l"] or (how == "inner" and not frames["r"]):
             return pd.DataFrame(columns=out_cols)
         lg = pd.concat(frames["l"], ignore_index=True)
+        if how in ("semi", "anti"):
+            # existence joins: left rows with (semi) / without (anti) a
+            # key match on the right — only the right KEY COLUMNS are
+            # consulted, no payload widening, duplicates never multiply
+            if not frames["r"]:
+                return (lg[l_cols] if how == "anti"
+                        else pd.DataFrame(columns=l_cols))
+            rk = pd.concat(frames["r"], ignore_index=True)[on_cols]
+            rk = rk.drop_duplicates()
+            m = lg.merge(rk, on=on_cols, how="left", indicator=True)
+            keep = m["_merge"] == ("both" if how == "semi" else "left_only")
+            return m[keep][l_cols]
         rg = (pd.concat(frames["r"], ignore_index=True)
               if frames["r"] else pd.DataFrame(columns=r_cols))
         return lg.merge(rg, on=on_cols, how=how)

@@ -1631,3 +1631,120 @@ def doc_phrase_mentions(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["doc_phrase_mentions"] = doc_phrase_mentions
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """ANTI join (NOT EXISTS): customers with no LARGE order
+    (o_totalprice > 300000; without the filter every synthetic customer
+    has orders and the query is vacuous), counted per nation. Shape:
+    filter pushed into the right-side scan, bucketed existence join on
+    custkey (engine.joins bucket_join how='anti' consults right keys
+    only, so order multiplicity can't multiply rows), then a 25-row
+    nation broadcast map and a tiny final aggregate."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Count
+
+    from .joins import bucket_join
+
+    c = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    o = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: (t.filter(pc.greater(t["o_totalprice"], 300000.0))
+                   .select(["o_custkey"]).rename_columns(["c_custkey"])),
+        batch_format="pyarrow",
+    )
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    def add_name(df: pd.DataFrame, nmap=nmap) -> pa.Table:
+        # fixed arrow schema even for empty anti buckets
+        names = (df["c_nationkey"].map(nmap) if len(df)
+                 else pd.Series([], dtype="string"))
+        return pa.table({"n_name": pa.array(names.astype(str) if len(df)
+                                            else [], pa.string())})
+
+    out = (
+        bucket_join(c, o, on="c_custkey", how="anti",
+                    rows_hint=_tbl_rows(sf_dir, "orders"))
+        .map_batches(add_name, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"))
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                             "n_customers": pd.Series([], dtype="int64")})
+    out = out.sort_values("n_name").reset_index(drop=True)
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out
+
+
+def suppliers_with_returns(sf_dir: str) -> pd.DataFrame:
+    """SEMI join (EXISTS): suppliers with at least one returned
+    FULL-QUANTITY line item (l_returnflag = 'R' AND l_quantity > 49 —
+    selective enough that some suppliers don't qualify), counted per
+    nation — same existence-join machinery as the anti query, filter
+    pushed to the read side."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Count
+
+    from .joins import bucket_join
+
+    s = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li = _rp(sf_dir, "lineitem",
+             ["l_suppkey", "l_returnflag", "l_quantity"]).map_batches(
+        lambda t: (t.filter(pc.and_(pc.equal(t["l_returnflag"], "R"),
+                                    pc.greater(t["l_quantity"], 49.0)))
+                   .select(["l_suppkey"])
+                   .rename_columns(["s_suppkey"])),
+        batch_format="pyarrow",
+    )
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    def add_name(df: pd.DataFrame, nmap=nmap) -> pd.DataFrame:
+        df = df.copy()
+        df["n_name"] = df["s_nationkey"].map(nmap)
+        return df[["n_name"]]
+
+    out = (
+        bucket_join(s, li, on="s_suppkey", how="semi",
+                    rows_hint=_tbl_rows(sf_dir, "lineitem"))
+        .map_batches(add_name, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_suppliers"))
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out
+
+
+def events_top3_per_user(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-N (QUALIFY row_number() <= 3 shape) WITHOUT a global
+    sort: per-batch top-k combiner -> one user-hash exchange ->
+    per-partition vectorized sort + group head (engine.windows.
+    grouped_topk). Deterministic ties via (ts, event_id)."""
+    from .windows import grouped_topk
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = grouped_topk(ds, key="user_id", order_col="value", k=3,
+                       tie_cols=["ts", "event_id"],
+                       rows_hint=_tbl_rows(sf_dir, "events")).to_pandas()
+    out = out[["user_id", "rank", "event_id", "value"]]
+    out["rank"] = out["rank"].astype("int64")
+    out = _round(out, {"value": 6})
+    return out.sort_values(["user_id", "rank"]).reset_index(drop=True)
+
+
+QUERIES.update(
+    {
+        "customers_without_orders": customers_without_orders,
+        "suppliers_with_returns": suppliers_with_returns,
+        "events_top3_per_user": events_top3_per_user,
+    }
+)

@@ -378,3 +378,41 @@ def rolling_sum(ds, key: str, ts: str, val: str, window: pd.Timedelta,
         .groupby("__b", num_partitions=bucket_partitions(num_buckets))
         .map_groups(peak, batch_format="pandas")
     )
+
+
+def grouped_topk(ds, key: str, order_col: str, k: int = 3,
+                 tie_cols: list[str] | None = None, ascending: bool = False,
+                 num_buckets: int | None = None,
+                 rows_hint: int | None = None):
+    """Per-key top-k rows by ``order_col`` (descending by default),
+    deterministic via ``tie_cols`` — the grouped-top-N shape (SQL
+    QUALIFY row_number() OVER (PARTITION BY key ORDER BY ...) <= k)
+    WITHOUT a global sort: a map-side per-batch top-k combiner prunes
+    the exchange to <= k rows per (batch, key), then ONE hash exchange
+    on the key and a vectorized per-partition sort + group-head. Emits
+    the input columns plus ``rank`` (1-based). Top-k is a semilattice,
+    so the batch-level combiner is exact."""
+    num_buckets = num_buckets or auto_buckets(rows_hint)
+    ties = list(tie_cols or [])
+    order = [key, order_col] + ties
+    asc = [True, ascending] + [True] * len(ties)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order, ascending=asc, kind="mergesort")
+        df = df.groupby(key, as_index=False, sort=False).head(k)
+        df = df.copy()
+        df["__b"] = pd.util.hash_array(df[key].to_numpy()) % num_buckets
+        return df
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").sort_values(order, ascending=asc,
+                                              kind="mergesort")
+        g = g.groupby(key, as_index=False, sort=False).head(k).copy()
+        g["rank"] = g.groupby(key, sort=False).cumcount() + 1
+        return g
+
+    return (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("__b", num_partitions=bucket_partitions(num_buckets))
+        .map_groups(topk, batch_format="pandas")
+    )

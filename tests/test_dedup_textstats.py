@@ -207,3 +207,55 @@ def test_verify_pairs_local_matches_distributed(ray_session):
             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(fast, dist, check_dtype=False)
     assert len(fast) >= 3
+
+
+def test_bucket_join_semi_anti(ray_session):
+    """Existence joins: semi keeps left rows with a key match, anti the
+    complement; right-side duplicates never multiply rows."""
+    import ray.data as rd
+
+    from engine.joins import bucket_join
+
+    l = pd.DataFrame({"k": [1, 2, 3, 4, 5], "a": list("abcde")})
+    r = pd.DataFrame({"k": [2, 2, 2, 4, 9], "junk": range(5)})  # dup keys
+    semi = (bucket_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                        how="semi", num_buckets=8)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    anti = (bucket_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                        how="anti", num_buckets=8)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    assert list(semi.columns) == ["k", "a"]
+    assert semi["k"].tolist() == [2, 4]          # no multiplication
+    assert anti["k"].tolist() == [1, 3, 5]
+    assert anti["a"].tolist() == ["a", "c", "e"]
+
+
+def test_grouped_topk_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from engine.windows import grouped_topk
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 12, 400),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 10_000, 400), unit="s"),
+        "event_id": np.arange(400, dtype="int64"),
+        "value": rng.integers(0, 50, 400).astype("float64"),  # forces ties
+    })
+    got = (grouped_topk(rd.from_pandas(df), key="user_id",
+                        order_col="value", k=3,
+                        tie_cols=["ts", "event_id"], num_buckets=8)
+           .to_pandas()
+           .sort_values(["user_id", "rank"]).reset_index(drop=True))
+    exp = (df.sort_values(["user_id", "value", "ts", "event_id"],
+                          ascending=[True, False, True, True],
+                          kind="mergesort")
+           .groupby("user_id", as_index=False, sort=False).head(3))
+    exp = exp.assign(rank=exp.groupby("user_id", sort=False).cumcount() + 1)
+    exp = exp.sort_values(["user_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "rank", "event_id", "value"]].astype({"rank": "int64"}),
+        exp[["user_id", "rank", "event_id", "value"]].astype({"rank": "int64"}),
+        check_dtype=False,
+    )
