@@ -507,6 +507,51 @@ def oracle_sql() -> dict[str, str]:
                             AND l.l_returnflag = 'R'
                             AND l.l_quantity > 49)
             GROUP BY 1 ORDER BY 1""",
+        "events_session_rows": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM e)
+            SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS start_ts, MAX(ts) AS end_ts
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+        "events_value_quantiles_cont": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   ROUND(percentile_cont(0.5)
+                         WITHIN GROUP (ORDER BY value), 6) AS p50,
+                   ROUND(percentile_cont(0.9)
+                         WITHIN GROUP (ORDER BY value), 6) AS p90,
+                   ROUND(percentile_cont(0.99)
+                         WITHIN GROUP (ORDER BY value), 6) AS p99
+            FROM events GROUP BY 1 ORDER BY 1""",
+        "distinct_users_per_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1 ORDER BY 1""",
+        "embed_contamination_filter": """
+            WITH r AS (SELECT vec_id AS rid,
+                              CAST(embedding AS DOUBLE[]) AS re
+                       FROM embeddings WHERE vec_id < 5),
+            s AS (SELECT e.vec_id, r.rid,
+                         list_cosine_similarity(
+                             CAST(e.embedding AS DOUBLE[]), r.re) AS raw
+                  FROM embeddings e CROSS JOIN r
+                  WHERE e.vec_id <> r.rid)
+            SELECT vec_id, rid AS max_ref_id, ROUND(raw, 6) AS score
+            FROM s
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY raw DESC, rid) = 1
+                    AND raw >= 0.425
+            ORDER BY vec_id""",
         "events_top3_per_user": """
             SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS rank,
                    event_id, ROUND(value, 6) AS value

@@ -153,25 +153,29 @@ def run_bench() -> dict:
     q_budget = float(os.environ.get("GRAFT_QUERY_BUDGET", "420"))
     t_qblock = time.perf_counter()
     query_walls: dict[str, list[float]] = {}
+    import gc
+
+    def timed(name: str) -> float:
+        t0 = time.perf_counter()
+        res = QUERIES[name](sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        wall = time.perf_counter() - t0
+        # release the result's object-store refs before the next run —
+        # retained datasets age the session (observed: repeat runs of
+        # the same query 2.4x slower while refs accumulate)
+        del res
+        gc.collect()
+        return round(wall, 3)
+
     for name in bench_queries:
-        walls: list[float] = []
-        runs_q = 2 if time.perf_counter() - t_qblock < q_budget else 1
-        for _ in range(runs_q):
-            t0 = time.perf_counter()
-            res = QUERIES[name](sf_dir)
-            if hasattr(res, "to_pandas"):
-                res.to_pandas()
-            walls.append(round(time.perf_counter() - t0, 3))
-            if walls[-1] <= 1.0:
-                break
+        walls = [timed(name)]
+        if walls[0] > 1.0 and time.perf_counter() - t_qblock < q_budget:
+            walls.append(timed(name))
         if min(walls) > 8.0 and len(walls) > 1:
-            # both runs slow AND disagreeing -> an intermittent
-            # worker-spawn stall may have hit both; one tiebreak
-            t0 = time.perf_counter()
-            res = QUERIES[name](sf_dir)
-            if hasattr(res, "to_pandas"):
-                res.to_pandas()
-            walls.append(round(time.perf_counter() - t0, 3))
+            # both runs slow -> an intermittent worker-spawn stall may
+            # have hit both; one tiebreak
+            walls.append(timed(name))
         query_walls[name] = walls
         per_query[name] = min(walls)
 

@@ -1748,3 +1748,172 @@ QUERIES.update(
         "events_top3_per_user": events_top3_per_user,
     }
 )
+
+
+def events_session_rows(sf_dir: str) -> pd.DataFrame:
+    """Sessionization emitting the SESSION ROWS (not just per-user
+    counts): one user-hash exchange, then a fully vectorized
+    per-partition fold — gap>30min starts a session, session_idx =
+    per-user cumulative count of starts, one output row per session
+    with bounds. The streaming-shaped workload's full output surface."""
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "event_id"])
+    nb = _auto_b(sf_dir, "events")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ub"] = df["user_id"] % nb
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        new_s = (~same_user) | (g["ts"].diff() > pd.Timedelta(minutes=30))
+        sid = new_s.groupby(g["user_id"].to_numpy()).cumsum()
+        g = g.assign(session_idx=sid.astype("int64"))
+        out = g.groupby(["user_id", "session_idx"], as_index=False).agg(
+            n_events=("ts", "size"), start_ts=("ts", "min"),
+            end_ts=("ts", "max"))
+        return out
+
+    out = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("ub", num_partitions=_bparts(nb))
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()[["user_id", "session_idx", "n_events",
+                      "start_ts", "end_ts"]]
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def events_value_quantiles_cont(sf_dir: str) -> pd.DataFrame:
+    """Interpolated percentiles (SQL percentile_cont) — exact and
+    sort-free like events_value_quantiles: the histogram reduce gives
+    cumulative counts over distinct values; percentile_cont's two
+    neighboring order statistics (zero-based rank p*(n-1)) come from
+    two searchsorted probes, interpolated with the same lo+frac*(hi-lo)
+    formula DuckDB uses."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "value"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    hist = (
+        ds.map_batches(combine, batch_format="pandas")
+        .groupby(["event_type", "value"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("value")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        vals = g["value"].to_numpy()
+
+        def order_stat(k: int) -> float:  # k is 1-based
+            return float(vals[np.searchsorted(cum, k)])
+
+        q = {}
+        for p, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            r = p * (total - 1)  # zero-based fractional rank
+            lo_k = int(np.floor(r)) + 1
+            frac = r - np.floor(r)
+            lo_v = order_stat(lo_k)
+            q[name] = (lo_v if frac == 0.0
+                       else lo_v + frac * (order_stat(lo_k + 1) - lo_v))
+        rows.append({"event_type": et, "n_events": total, **q})
+    out = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    return _round(out, {"p50": 6, "p90": 6, "p99": 6})
+
+
+def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT) per group in ONE exchange: bucket by
+    hash(user) so all of a user's rows co-locate, per-partition
+    drop_duplicates + per-type partial counts (bounded by types x
+    users-in-bucket), then a types-sized Sum. No pair-level shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "events", ["event_type", "user_id"])
+    nb = _auto_b(sf_dir, "events")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["event_type", "user_id"]).copy()
+        df["ub"] = df["user_id"] % nb
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        out = d.groupby("event_type", as_index=False).size()
+        return out.rename(columns={"size": "n_users"})
+
+    out = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("ub", num_partitions=_bparts(nb))
+        .map_groups(fold, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+QUERIES.update(
+    {
+        "events_session_rows": events_session_rows,
+        "events_value_quantiles_cont": events_value_quantiles_cont,
+        "distinct_users_per_type": distinct_users_per_type,
+    }
+)
+
+
+def embed_contamination_filter(sf_dir: str) -> pd.DataFrame:
+    """Eval-set contamination screening — the training-data op of
+    removing corpus items too similar to a reference/eval set: the
+    reference embeddings (here vec_id < 5) are broadcast once via
+    ray.put, each batch computes one matmul against them, and a row is
+    FLAGGED if its max cosine to any reference vector (self excluded)
+    is >= 0.425 (the corpus's documented score gap — see
+    embed_dup_pairs). Output: flagged (vec_id, max_ref_id, score) rows
+    — EXISTS semantics, never a pair explosion."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .simsearch import _matrix, _norm
+
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    ref_t = qt.filter(pc.less(qt["vec_id"], 5)).sort_by("vec_id")
+    ref_ids = ref_t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ref_m = _norm(_matrix(ref_t["embedding"], np.float64))
+    ref = ray.put((ref_ids, ref_m))
+
+    def flag(t: pa.Table, ref=ref) -> pa.Table:
+        rids, rm = ray.get(ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _norm(_matrix(t["embedding"], np.float64))
+        sims = m @ rm.T                        # (batch, n_ref)
+        sims[ids[:, None] == rids[None, :]] = -2.0  # exclude self
+        best = sims.argmax(axis=1)
+        score = sims[np.arange(len(ids)), best]
+        keep = score >= 0.425
+        return pa.table({
+            "vec_id": pa.array(ids[keep], pa.int64()),
+            "max_ref_id": pa.array(rids[best[keep]], pa.int64()),
+            "score": pa.array(np.round(score[keep], 6), pa.float64()),
+        })
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+QUERIES["embed_contamination_filter"] = embed_contamination_filter
