@@ -550,7 +550,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             QUALIFY row_number() OVER (PARTITION BY vec_id
                                        ORDER BY raw DESC, rid) = 1
-                    AND raw >= 0.425
+                    AND raw >= 0.345
             ORDER BY vec_id""",
         "events_top3_per_user": """
             SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS rank,
