@@ -680,7 +680,91 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(reach) AS cluster_id
             FROM r GROUP BY 1 ORDER BY 1""",
+        "lang_sample_weights": """
+            WITH c AS (SELECT lang, COUNT(*) AS n_docs
+                       FROM documents GROUP BY 1),
+            t AS (SELECT lang, n_docs,
+                         POWER(CAST(n_docs AS DOUBLE)
+                               / (SELECT SUM(n_docs) FROM c), 0.3) AS pw
+                  FROM c)
+            SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+                   ROUND(pw / (SELECT SUM(pw) FROM t), 6) AS weight
+            FROM t ORDER BY lang""",
+        "events_funnel": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, MIN(e.ts) AS t2
+                  FROM events e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > v.t1
+                    AND e.ts <= v.t1 + INTERVAL 24 HOUR GROUP BY 1),
+            p AS (SELECT e.user_id, MIN(e.ts) AS t3
+                  FROM events e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                    AND e.ts <= c.t2 + INTERVAL 24 HOUR GROUP BY 1)
+            SELECT u.user_id,
+                   CAST((v.user_id IS NOT NULL)::INT
+                        + (c.user_id IS NOT NULL)::INT
+                        + (p.user_id IS NOT NULL)::INT AS BIGINT)
+                       AS funnel_stage
+            FROM u LEFT JOIN v USING (user_id)
+                   LEFT JOIN c USING (user_id)
+                   LEFT JOIN p USING (user_id)
+            ORDER BY u.user_id""",
+        "ngram_contamination_docs": """
+            WITH g AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, len(w) - 2),
+                    i -> w[i] || chr(31) || w[i+1] || chr(31) || w[i+2]))
+                    AS gr
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                      FROM documents)),
+            ev AS (SELECT list_distinct(flatten(list(gr))) AS u
+                   FROM g WHERE doc_id % 50 = 0)
+            SELECT doc_id,
+                   CAST(len(list_intersect(g.gr, ev.u)) AS BIGINT)
+                       AS n_overlap,
+                   CAST(len(g.gr) AS BIGINT) AS n_shingles
+            FROM g, ev
+            WHERE doc_id % 50 <> 0
+              AND len(list_intersect(g.gr, ev.u)) >= 2
+            ORDER BY doc_id""",
+        "dup_span_docs": """
+            WITH g AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(w) - 3),
+                    i -> w[i] || chr(31) || w[i+1] || chr(31) || w[i+2]
+                         || chr(31) || w[i+3]))) AS s
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                      FROM documents)),
+            d AS (SELECT s, COUNT(*) AS nd FROM g GROUP BY 1)
+            SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup
+            FROM g JOIN d USING (s) GROUP BY 1 ORDER BY 1""",
+        "pack_sequences": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, doc_id // 100 AS bucket,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id // 100
+                                          ORDER BY doc_id) AS rn
+                FROM documents),
+            s AS (
+                SELECT doc_id, bucket, n_tokens, rn,
+                       0 AS bin, n_tokens AS fill
+                FROM t WHERE rn = 1
+                UNION ALL
+                SELECT t.doc_id, t.bucket, t.n_tokens, t.rn,
+                       CASE WHEN s.fill + t.n_tokens <= 256
+                            THEN s.bin ELSE s.bin + 1 END,
+                       CASE WHEN s.fill + t.n_tokens <= 256
+                            THEN s.fill + t.n_tokens ELSE t.n_tokens END
+                FROM s JOIN t ON t.bucket = s.bucket AND t.rn = s.rn + 1)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(bucket AS BIGINT) AS bucket,
+                   CAST(bin AS BIGINT) AS bin
+            FROM s ORDER BY doc_id""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
-        # simhash_docs, lang_id_docs, fingerprint_docs, kg_triples,
-        # kg_mentions_all, kg_top_entities
+        # kg_triples, kg_mentions_all, kg_dep_morphs, kg_top_entities,
+        # ncrf_label_turns, ncrf_train_eval, multimodal_features
     }

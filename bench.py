@@ -121,7 +121,8 @@ def run_bench() -> dict:
         "token_count_docs", "redact_docs", "rep_trigram_docs",
         "tfidf_doc_score", "doc_phrase_mentions",
         "customers_without_orders", "suppliers_with_returns",
-        "events_top3_per_user",
+        "events_top3_per_user", "events_funnel", "dup_span_docs",
+        "ngram_contamination_docs", "pack_sequences",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

@@ -1922,3 +1922,230 @@ def embed_contamination_filter(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["embed_contamination_filter"] = embed_contamination_filter
+
+
+# --- round-4 extension batch: training-data ops over documents/events ------
+def lang_sample_weights(sf_dir: str) -> pd.DataFrame:
+    """Temperature-resampled language sampling weights (alpha=0.3, the
+    multilingual-LM rebalancing recipe: w_l = p_l^a / sum p^a). The
+    distributed part is one combiner groupby(lang); the exponent math
+    runs on the k-row driver result — O(languages), corpus-size-free."""
+    from ray.data.aggregate import Count
+
+    c = (
+        _rp(sf_dir, "documents", ["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    p = c["n_docs"].to_numpy(np.float64) / float(c["n_docs"].sum())
+    pw = p ** 0.3
+    c["weight"] = np.round(pw / pw.sum(), 6)
+    c["n_docs"] = c["n_docs"].astype("int64")
+    return c[["lang", "n_docs", "weight"]]
+
+
+def events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered funnel per user: first view -> first click within 24h
+    after it -> first purchase within 24h after that click. One hash
+    exchange on user_id (auto-scaled buckets); the per-bucket fold is
+    three vectorized groupby-min passes, never a per-event loop."""
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "event_type"])
+    nb = _auto_b(sf_dir, "events")
+    win = pd.Timedelta(hours=24)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ub"] = df["user_id"] % nb
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame({"user_id": np.unique(g["user_id"])})
+        t1 = (g[g["event_type"] == "view"]
+              .groupby("user_id")["ts"].min().rename("t1").reset_index())
+        cl = g[g["event_type"] == "click"].merge(t1, on="user_id")
+        cl = cl[(cl["ts"] > cl["t1"]) & (cl["ts"] <= cl["t1"] + win)]
+        t2 = cl.groupby("user_id")["ts"].min().rename("t2").reset_index()
+        pu = g[g["event_type"] == "purchase"].merge(t2, on="user_id")
+        pu = pu[(pu["ts"] > pu["t2"]) & (pu["ts"] <= pu["t2"] + win)]
+        t3 = pu.groupby("user_id")["ts"].min()
+        base["funnel_stage"] = (
+            base["user_id"].isin(t1["user_id"]).astype("int64")
+            + base["user_id"].isin(t2["user_id"]).astype("int64")
+            + base["user_id"].isin(t3.index).astype("int64")
+        )
+        return base
+
+    return (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("ub", num_partitions=_bparts(nb))
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()[["user_id", "funnel_stage"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+_SHINGLE_SEP = "\x1f"
+
+
+def _shingle_frame(df: pd.DataFrame, n: int) -> pd.DataFrame:
+    """Vectorized per-doc DISTINCT word n-gram shingles: explode the
+    token lists once, build the n-gram by shifted string concat (no
+    per-row Python), drop within-doc duplicates. Matches the oracle's
+    list_distinct(list_transform(...)) contract, incl. docs shorter
+    than n tokens contributing no rows."""
+    x = pd.DataFrame({
+        "doc_id": df["doc_id"],
+        "w": df["text"].str.lower().str.split(" "),
+    }).explode("w", ignore_index=True)
+    sh = x["w"].copy()
+    for k in range(1, n):
+        sh = sh + _SHINGLE_SEP + x["w"].shift(-k)
+    same_doc = x["doc_id"].eq(x["doc_id"].shift(-(n - 1)))
+    out = pd.DataFrame({"doc_id": x["doc_id"], "sh": sh})[same_doc]
+    return out.drop_duplicates(["doc_id", "sh"], ignore_index=True)
+
+
+def ngram_contamination_docs(sf_dir: str) -> pd.DataFrame:
+    """Eval-set decontamination by n-gram overlap (the Brown/GPT-3-
+    style screen): the eval set (deterministically doc_id %% 50 == 0,
+    standing in for a fixed benchmark suite) contributes a 3-gram
+    shingle universe, broadcast ONCE via ray.put; every train doc
+    counts its distinct shingles that hit the universe (vectorized
+    hash-table isin, no pair join, no shuffle) and is flagged at
+    >= 2 overlaps. Integer-count threshold => no float boundary."""
+    import ray
+
+    eval_pd = (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            lambda df: df[df["doc_id"] % 50 == 0],
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    ev_set = set(_shingle_frame(eval_pd, 3)["sh"])
+    ev_ref = ray.put(frozenset(ev_set))
+
+    def flag(df: pd.DataFrame, ev=ev_ref) -> pd.DataFrame:
+        evs = ray.get(ev)
+        df = df[df["doc_id"] % 50 != 0]
+        if df.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_overlap": pd.Series([], dtype="int64"),
+                "n_shingles": pd.Series([], dtype="int64"),
+            })
+        sf = _shingle_frame(df, 3)
+        sf["hit"] = sf["sh"].isin(evs).astype("int64")
+        out = sf.groupby("doc_id", as_index=False).agg(
+            n_overlap=("hit", "sum"), n_shingles=("sh", "size"))
+        return out[out["n_overlap"] >= 2]
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(flag, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def dup_span_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-doc duplicated-span mass (Lee et al. 2022 dedup signal):
+    for every doc, how many of its distinct 4-gram shingles appear in
+    at least one OTHER doc. Two bucketed exchanges, both auto-scaled:
+    shingle-hash cogroup counts cross-doc occurrence (stable
+    hash_pandas_object, never Python hash()), then a doc_id groupby
+    sums the per-bucket partials. No all-pairs join at any size."""
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    nb = _auto_b(sf_dir, "documents")
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        sf = _shingle_frame(df, 4)
+        sf["sb"] = (pd.util.hash_pandas_object(sf["sh"], index=False)
+                    % np.uint64(nb)).astype("int64")
+        return sf
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("sh")["doc_id"].transform("size")
+        g = g.assign(dup=(nd >= 2).astype("int64"))
+        return g.groupby("doc_id", as_index=False).agg(
+            n_shingles=("sh", "size"), n_dup=("dup", "sum"))
+
+    part = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("sb", num_partitions=_bparts(nb))
+        .map_groups(count_bucket, batch_format="pandas")
+    )
+    out = (
+        part.groupby("doc_id")
+        .aggregate(Sum("n_shingles", alias_name="n_shingles"),
+                   Sum("n_dup", alias_name="n_dup"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["n_shingles"] = out["n_shingles"].astype("int64")
+    out["n_dup"] = out["n_dup"].astype("int64")
+    return out
+
+
+def pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """Greedy sequential sequence packing (training-batch assembly):
+    docs in doc_id order fill fixed 256-token bins; a doc that would
+    overflow starts the next bin. Packing is sequential SEMANTICS, so
+    it runs per deterministic doc_id-range bucket (100 docs) — buckets
+    pack in parallel, each in O(#bins) searchsorted steps over a
+    cumsum, not O(#docs) Python. token count = count(' ')+1, which
+    equals len(string_split(text,' ')) for EVERY string (split never
+    merges delimiters), so the oracle needs no tokenizer mirror."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    budget = 256
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": df["text"].str.count(" ").astype("int64") + 1,
+            "bucket": (df["doc_id"] // 100).astype("int64"),
+        })
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        tok = g["n_tokens"].to_numpy()
+        cs = np.concatenate([[0], np.cumsum(tok)])
+        bins = np.empty(len(tok), dtype=np.int64)
+        i, b = 0, 0
+        while i < len(tok):
+            j = int(np.searchsorted(cs, cs[i] + budget, side="right")) - 1
+            j = max(j, i + 1)          # an oversized doc gets its own bin
+            bins[i:j] = b
+            b += 1
+            i = j
+        g["bin"] = bins
+        return g
+
+    return (
+        ds.map_batches(toks, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pack, batch_format="pandas")
+        .to_pandas()[["doc_id", "n_tokens", "bucket", "bin"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+QUERIES.update(
+    {
+        "lang_sample_weights": lang_sample_weights,
+        "events_funnel": events_funnel,
+        "ngram_contamination_docs": ngram_contamination_docs,
+        "dup_span_docs": dup_span_docs,
+        "pack_sequences": pack_sequences,
+    }
+)
