@@ -764,7 +764,84 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bucket AS BIGINT) AS bucket,
                    CAST(bin AS BIGINT) AS bin
             FROM s ORDER BY doc_id""",
+        "events_user_type_pivot": """
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (event_type = 'error') AS n_error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+                   COUNT(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY 1 ORDER BY 1""",
+        "orders_rollup": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+                   COALESCE(o_orderstatus, 'ALL') AS st,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_cents
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+            ORDER BY 1, 2""",
+        "events_running_total": """
+            SELECT user_id, ts, event_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS run_cents
+            FROM events ORDER BY user_id, ts, event_id""",
+        "dedup_keep_docs": """
+            WITH RECURSIVE g AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3 THEN []
+                            ELSE list_distinct(list_transform(
+                                generate_series(1, len(w) - 2),
+                                i -> w[i] || chr(31) || w[i+1]
+                                     || chr(31) || w[i+2]))
+                       END AS gr
+                FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                      FROM documents)),
+            e0 AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM g a JOIN g b ON b.doc_id <> a.doc_id
+                 AND 5 * least(len(a.gr), len(b.gr))
+                     >= 3 * greatest(len(a.gr), len(b.gr))
+                WHERE CASE WHEN len(a.gr) + len(b.gr) = 0 THEN TRUE
+                      ELSE 5 * len(list_intersect(a.gr, b.gr))
+                           >= 3 * (len(a.gr) + len(b.gr)
+                                   - len(list_intersect(a.gr, b.gr)))
+                      END
+            ),
+            r AS (
+                SELECT src AS node, src AS reach FROM e0
+                UNION
+                SELECT r.node, e0.dst FROM r JOIN e0 ON e0.src = r.reach
+            ),
+            cl AS (SELECT node AS doc_id, MIN(reach) AS cluster_id
+                   FROM r GROUP BY 1)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM cl
+                              WHERE cl.doc_id = d.doc_id
+                                AND cl.cluster_id <> cl.doc_id)
+            ORDER BY d.doc_id""",
+        "events_lag_delta": """
+            SELECT user_id, ts, event_id,
+                   CAST(CAST(ROUND(value * 100) AS BIGINT)
+                        - COALESCE(LAG(CAST(ROUND(value * 100) AS BIGINT))
+                                   OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id), 0)
+                        AS BIGINT) AS delta_cents
+            FROM events ORDER BY user_id, ts, event_id""",
+        "orders_left_lineitem": """
+            SELECT o.o_orderkey,
+                   COUNT(l.l_orderkey) AS n_items,
+                   CAST(COALESCE(SUM(CAST(ROUND(l.l_quantity * 100)
+                                          AS BIGINT)), 0) AS BIGINT)
+                       AS qty_units
+            FROM orders o LEFT JOIN lineitem l
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1 ORDER BY 1""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # kg_triples, kg_mentions_all, kg_dep_morphs, kg_top_entities,
-        # ncrf_label_turns, ncrf_train_eval, multimodal_features
+        # kg_pagerank, ncrf_label_turns, ncrf_train_eval,
+        # multimodal_features
     }

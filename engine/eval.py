@@ -93,14 +93,16 @@ def evaluate_datasets(gold_ds, pred_ds, keys: list[str]) -> tuple[float, float, 
         return pa.table({"k": t["k"], "g": is_g,
                          "p": pc.subtract(pa.scalar(1, pa.int64()), is_g)})
 
-    # one vectorized hash aggregate per distinct digest (the occ index
-    # makes each digest appear at most once per side), then a per-batch
-    # partial fold + tiny global sum — no per-key Python call anywhere
-    per_key = (
-        g.union(p)
-        .map_batches(flag, batch_format="pyarrow")
-        .groupby("k")
-        .aggregate(Sum("g", alias_name="g"), Sum("p", alias_name="p"))
+    # bucket-fold per distinct digest (the occ index makes each digest
+    # appear at most once per side; the digest key space scales with
+    # the corpus, so Ray's per-group aggregate overhead is avoided —
+    # shuffle.grouped_sum), then a per-batch partial fold + tiny
+    # global sum — no per-key Python call anywhere
+    from .shuffle import grouped_sum
+
+    per_key = grouped_sum(
+        g.union(p).map_batches(flag, batch_format="pyarrow"),
+        "k", ["g", "p"],
     )
 
     def partial(t: pa.Table) -> pa.Table:

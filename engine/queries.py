@@ -178,9 +178,19 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
                              batch_format="pyarrow"),
         "inner", 16, on=("l_orderkey",),
     )
+    # orderkey is a corpus-scaled key space: bucket-fold sum (Ray's
+    # hash aggregate pays per-group overhead), then per-block top-10
+    # partials so the driver merges <=10 rows per block, never the
+    # full per-order frame
+    from .shuffle import grouped_sum
+
     rev = (
-        joined.groupby("l_orderkey")
-        .aggregate(Sum("rev_units", alias_name="rev_units"))
+        grouped_sum(joined, "l_orderkey", "rev_units",
+                    rows_hint=_tbl_rows(sf_dir, "orders"))
+        .map_batches(
+            lambda df: df.sort_values(["rev_units", "l_orderkey"],
+                                      ascending=[False, True]).head(10),
+            batch_format="pandas")
         .to_pandas()
         .rename(columns={"l_orderkey": "o_orderkey"})
         .sort_values(["rev_units", "o_orderkey"], ascending=[False, True])
@@ -757,23 +767,45 @@ def top_parts_by_qty(sf_dir: str) -> pd.DataFrame:
 
     from .joins import broadcast_join
 
-    agg = (
-        _rp(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
-        .groupby("l_partkey")
-        .aggregate(Sum("l_quantity", alias_name="total_qty"),
-                   Count(alias_name="n_items"))
-    )
-    part = _rp(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    # partkey scales with the corpus: bucket-fold (exact integer
+    # 1e-2 quantity units through the sum) + per-block top-15 partials;
+    # names attached for the 15 winners only via a key-filtered read
+    import pyarrow.parquet as pq
+
+    from .shuffle import grouped_sum
+
+    def units(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": df["l_partkey"],
+            "qty_units": np.round(df["l_quantity"].to_numpy() * 100)
+                           .astype("int64"),
+            "n_items": np.ones(len(df), dtype="int64"),
+        })
+
+    li = (_rp(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+          .map_batches(units, batch_format="pandas"))
     out = (
-        broadcast_join(agg, part.rename(columns={"p_partkey": "l_partkey"}),
-                       on="l_partkey")
+        grouped_sum(li, "l_partkey", ["qty_units", "n_items"],
+                    rows_hint=_tbl_rows(sf_dir, "part"))
+        .map_batches(
+            lambda df: df.sort_values(["qty_units", "l_partkey"],
+                                      ascending=[False, True]).head(15),
+            batch_format="pandas")
         .to_pandas()
         .rename(columns={"l_partkey": "p_partkey"})
-        .sort_values(["total_qty", "p_partkey"], ascending=[False, True])
+        .sort_values(["qty_units", "p_partkey"], ascending=[False, True])
         .head(15)
         .reset_index(drop=True)
-    )[["p_partkey", "p_name", "total_qty", "n_items"]]
-    return _round(out, {"total_qty": 2})
+    )
+    # 1e-2 quantity units: the exact integer sum / 100 is float-exact
+    out["total_qty"] = out["qty_units"].to_numpy(np.int64) / 100.0
+    names = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name"],
+        filters=[("p_partkey", "in", list(out["p_partkey"]))],
+    ).to_pandas()
+    out = out.merge(names, on="p_partkey")
+    return out[["p_partkey", "p_name", "total_qty", "n_items"]]
 
 
 def nation_customer_stats(sf_dir: str) -> pd.DataFrame:
@@ -809,22 +841,38 @@ def distinct_suppliers_per_flag(sf_dir: str) -> pd.DataFrame:
     def pairs(t: pa.Table) -> pd.DataFrame:
         return t.to_pandas().drop_duplicates()
 
-    # two hash aggregates, both fully vectorized: the first emits one
-    # row per distinct (flag, suppkey) pair (map-side per-batch dedup
-    # keeps the shuffle small), the second counts pairs per flag —
-    # never one Python call per distinct key
-    distinct_pairs = (
-        ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_suppkey"])
-        .aggregate(Count(alias_name="_n"))
-    )
-    return (
-        distinct_pairs.groupby("l_returnflag")
-        .aggregate(Count(alias_name="n_suppliers"))
+    # bucket-fold instead of a hash aggregate over the (flag, suppkey)
+    # key space (which scales with the corpus and pays Ray per-group
+    # overhead): map-side per-batch dedup, one exchange on the pair
+    # hash, per-bucket dedup + per-flag partial counts (a pair lives in
+    # exactly one bucket, so bucket counts are disjoint), then a
+    # driver sum over the O(buckets x flags) partials.
+    from .shuffle import auto_buckets, bucket_partitions
+
+    nb = auto_buckets(_tbl_rows(sf_dir, "supplier"))
+
+    def pairs_b(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas().drop_duplicates()
+        df["__gb"] = (
+            (pd.util.hash_pandas_object(df["l_returnflag"], index=False)
+             ^ pd.util.hash_pandas_object(df["l_suppkey"], index=False))
+            % np.uint64(nb)).astype("int64")
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["l_returnflag", "l_suppkey"])
+        return d.groupby("l_returnflag", as_index=False).agg(
+            n_suppliers=("l_suppkey", "size"))
+
+    part = (
+        ds.map_batches(pairs_b, batch_format="pyarrow")
+        .groupby("__gb", num_partitions=bucket_partitions(nb))
+        .map_groups(fold, batch_format="pandas")
         .to_pandas()
-        .sort_values("l_returnflag")
-        .reset_index(drop=True)
     )
+    out = part.groupby("l_returnflag", as_index=False)["n_suppliers"].sum()
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
 def events_user_max_gap(sf_dir: str) -> pd.DataFrame:
@@ -2061,7 +2109,7 @@ def dup_span_docs(sf_dir: str) -> pd.DataFrame:
     shingle-hash cogroup counts cross-doc occurrence (stable
     hash_pandas_object, never Python hash()), then a doc_id groupby
     sums the per-bucket partials. No all-pairs join at any size."""
-    from ray.data.aggregate import Sum
+    from .shuffle import grouped_sum
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     nb = _auto_b(sf_dir, "documents")
@@ -2084,9 +2132,8 @@ def dup_span_docs(sf_dir: str) -> pd.DataFrame:
         .map_groups(count_bucket, batch_format="pandas")
     )
     out = (
-        part.groupby("doc_id")
-        .aggregate(Sum("n_shingles", alias_name="n_shingles"),
-                   Sum("n_dup", alias_name="n_dup"))
+        grouped_sum(part, "doc_id", ["n_shingles", "n_dup"],
+                    rows_hint=_tbl_rows(sf_dir, "documents"))
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -2147,5 +2194,250 @@ QUERIES.update(
         "ngram_contamination_docs": ngram_contamination_docs,
         "dup_span_docs": dup_span_docs,
         "pack_sequences": pack_sequences,
+    }
+)
+
+
+def events_user_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Reshape family: per-user event-type count pivot. Map-side
+    crosstab partials (one vectorized pd.crosstab per batch) collapse
+    the exchange to at most n_users x n_types pre-aggregated rows —
+    the classic combiner: shuffle volume is bounded by the pivot
+    RESULT size, not the event count."""
+    from ray.data.aggregate import Sum
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _rp(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        ct = ct.reindex(columns=types, fill_value=0).astype("int64")
+        ct.columns = [f"n_{t}" for t in types]
+        return ct.reset_index()
+
+    from .shuffle import grouped_sum
+
+    out = (
+        grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                    "user_id", [f"n_{t}" for t in types],
+                    rows_hint=_tbl_rows(sf_dir, "events"))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    for t in types:
+        out[f"n_{t}"] = out[f"n_{t}"].astype("int64")
+    return out[["user_id"] + [f"n_{t}" for t in types]]
+
+
+def orders_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUPING SETS family: ROLLUP(priority, status) with exact
+    integer-cent revenue. The only distributed work is the LEAF
+    aggregate (priority x status, ~15 rows); the coarser rollup
+    levels are driver-side re-sums of that k-row result — rolling up
+    an aggregate never needs a second pass over the data."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "orders",
+             ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "pri": df["o_orderpriority"],
+            "st": df["o_orderstatus"],
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+                       .astype("int64"),
+        })
+
+    leaf = (
+        ds.map_batches(cents, batch_format="pandas")
+        .groupby(["pri", "st"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="rev_cents"))
+        .to_pandas()
+    )
+    lvl1 = leaf.groupby("pri", as_index=False)[["n", "rev_cents"]].sum()
+    lvl1["st"] = "ALL"
+    total = pd.DataFrame({"pri": ["ALL"], "st": ["ALL"],
+                          "n": [leaf["n"].sum()],
+                          "rev_cents": [leaf["rev_cents"].sum()]})
+    out = pd.concat([leaf, lvl1, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["rev_cents"] = out["rev_cents"].astype("int64")
+    return (out[["pri", "st", "n", "rev_cents"]]
+            .sort_values(["pri", "st"])
+            .reset_index(drop=True))
+
+
+def events_running_total(sf_dir: str) -> pd.DataFrame:
+    """Cumulative window family: per-user running value sum in exact
+    integer cents, ordered by (ts, event_id). One auto-scaled hash
+    exchange on user_id; the per-bucket fold is a single vectorized
+    grouped cumsum — and integer cents make the prefix sums exact, so
+    no summation-order float hazard exists at any partitioning."""
+    ds = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    nb = _auto_b(sf_dir, "events")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ub"] = df["user_id"] % nb
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).copy()
+        cents = pd.Series(
+            np.round(g["value"].to_numpy() * 100).astype("int64"),
+            index=g.index)
+        g["run_cents"] = cents.groupby(g["user_id"].to_numpy()).cumsum()
+        return g[["user_id", "ts", "event_id", "run_cents"]]
+
+    return (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("ub", num_partitions=_bparts(nb))
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+
+
+def dedup_keep_docs(sf_dir: str) -> pd.DataFrame:
+    """Dedup MATERIALIZATION: apply the MinHash-LSH cluster result as
+    a keep-filter (keep each cluster's min doc_id plus all unclustered
+    docs) — the step that actually shrinks a training corpus. The
+    drop-set (non-representative cluster members) goes through
+    bucket_join how='anti', so the filter is a bucketed existence
+    join, never a broadcast that assumes few duplicates."""
+    from .dedup import minhash_dedup
+    from .joins import bucket_join
+
+    rows = _tbl_rows(sf_dir, "documents")
+    docs = _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    clusters = minhash_dedup(
+        _rp(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=0.6, rows_hint=rows)
+    drops = clusters.map_batches(
+        lambda df: df[df["doc_id"] != df["cluster_id"]][["doc_id"]],
+        batch_format="pandas")
+    kept = bucket_join(docs, drops, on="doc_id", how="anti",
+                       rows_hint=rows)
+    out = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out[["doc_id", "lang", "n_chars"]]
+
+
+QUERIES.update(
+    {
+        "events_user_type_pivot": events_user_type_pivot,
+        "orders_rollup": orders_rollup,
+        "events_running_total": events_running_total,
+        "dedup_keep_docs": dedup_keep_docs,
+    }
+)
+
+
+def kg_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Graph analytics over the constructed KG: fixed-10-iteration
+    PageRank (d=0.85) on the distinct (subj, obj) edge set of the
+    flagship triples. Scale-aware (driver numpy under 100k edges,
+    bucketed BSP above — engine.graphalgo). Rows-only: iterative
+    float fixpoint, not SQL-expressible."""
+    from ray.data.aggregate import Count
+
+    from .graphalgo import pagerank_auto
+    from .pipeline import triples_dataset
+
+    edges = (
+        triples_dataset(transcripts_path(sf_dir))
+        .map_batches(
+            lambda df: df[["subj", "obj"]]
+            .rename(columns={"subj": "src", "obj": "dst"})
+            .drop_duplicates(),
+            batch_format="pandas",
+        )
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["src", "dst"])
+    )
+    ranks = pagerank_auto(edges)
+    ranks["rank"] = ranks["rank"].round(6)
+    return (
+        ranks.sort_values(["rank", "node"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["kg_pagerank"] = kg_pagerank
+
+
+def events_lag_delta(sf_dir: str) -> pd.DataFrame:
+    """LAG window family: per-user delta between consecutive event
+    values (exact integer cents; first event's delta is its own
+    value). One auto-scaled user_id exchange; the per-bucket fold is
+    a vectorized grouped shift — no per-row loop."""
+    ds = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    nb = _auto_b(sf_dir, "events")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ub"] = df["user_id"] % nb
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).copy()
+        cents = pd.Series(
+            np.round(g["value"].to_numpy() * 100).astype("int64"),
+            index=g.index)
+        prev = cents.groupby(g["user_id"].to_numpy()).shift(1).fillna(0)
+        g["delta_cents"] = (cents - prev.astype("int64")).astype("int64")
+        return g[["user_id", "ts", "event_id", "delta_cents"]]
+
+    return (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("ub", num_partitions=_bparts(nb))
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+
+
+def orders_left_lineitem(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER join family with zero-fill: every order with its
+    lineitem count and exact integer-unit quantity sum — orders with
+    NO lineitems surface with zeros (the rows an inner join silently
+    drops). Lineitem side pre-aggregates through the grouped_sum
+    bucket-fold; the left attach is bucket_join how='left'."""
+    from .joins import bucket_join
+    from .shuffle import grouped_sum
+
+    def units(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["l_orderkey"],
+            "n_items": np.ones(len(df), dtype="int64"),
+            "qty_units": np.round(df["l_quantity"].to_numpy() * 100)
+                           .astype("int64"),
+        })
+
+    li = (_rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+          .map_batches(units, batch_format="pandas"))
+    agg = grouped_sum(li, "o_orderkey", ["n_items", "qty_units"],
+                      rows_hint=_tbl_rows(sf_dir, "orders"))
+    orders = _rp(sf_dir, "orders", ["o_orderkey"])
+    out = (
+        bucket_join(orders, agg, on="o_orderkey", how="left",
+                    rows_hint=_tbl_rows(sf_dir, "orders"))
+        .to_pandas()
+    )
+    for c in ("n_items", "qty_units"):
+        out[c] = out[c].fillna(0).astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+QUERIES.update(
+    {
+        "events_lag_delta": events_lag_delta,
+        "orders_left_lineitem": orders_left_lineitem,
     }
 )

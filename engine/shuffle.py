@@ -46,3 +46,43 @@ def auto_buckets(rows_hint: int | None, cpus: int | None = None,
         return floor
     want = (int(rows_hint) + target_rows - 1) // target_rows
     return int(min(max(floor, want), cap))
+
+
+def grouped_sum(ds, keys, sum_cols, rows_hint: int | None = None,
+                num_buckets: int | None = None):
+    """Many-group SUM aggregate as a bucket-fold: per-batch map-side
+    combine (pandas groupby-sum), one hash exchange on a stable key
+    bucket, then a vectorized pandas groupby-sum per bucket. Exists
+    because Ray's hash aggregate pays ~2-15 ms of PER-GROUP overhead
+    (measured: 165k rows / 5k groups = 38 s via groupby().aggregate()
+    vs 0.4 s as a fold) — fine for dimension-sized group counts,
+    pathological for key spaces that scale with the corpus (doc_id,
+    user_id, orderkey...). Returns a Dataset with one row per distinct
+    key combination; shuffle volume is bounded by (batches x groups
+    per batch), i.e. by the pre-aggregated partials, never raw rows."""
+    import numpy as np
+    import pandas as pd
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sum_cols = [sum_cols] if isinstance(sum_cols, str) else list(sum_cols)
+    nb = num_buckets or auto_buckets(rows_hint)
+
+    def _bucket(df: pd.DataFrame) -> pd.Series:
+        h = pd.util.hash_pandas_object(df[keys[0]], index=False)
+        for k in keys[1:]:
+            h = h ^ pd.util.hash_pandas_object(df[k], index=False)
+        return (h % np.uint64(nb)).astype("int64")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, as_index=False)[sum_cols].sum()
+        g["__gb"] = _bucket(g)
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False)[sum_cols].sum()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__gb", num_partitions=bucket_partitions(nb))
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -77,7 +77,6 @@ def build_vocab(ds, tokens_col: str = "tokens", min_count: int = 1,
     column: per-batch partial counts (map-side combiner) -> one groupby
     -> deterministic id order (count desc, token asc)."""
     import pandas as pd
-    from ray.data.aggregate import Sum
 
     def partial(t) -> pd.DataFrame:
         from collections import Counter
@@ -90,10 +89,13 @@ def build_vocab(ds, tokens_col: str = "tokens", min_count: int = 1,
             {"token": list(c.keys()), "n": list(c.values())}
         )
 
+    # vocab key space grows with the corpus: bucket-fold sum instead
+    # of Ray's per-group hash aggregate (shuffle.grouped_sum)
+    from .shuffle import grouped_sum
+
     counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
+        grouped_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                    "token", "n")
         .to_pandas()
     )
     counts = counts[counts["n"] >= min_count]

@@ -336,3 +336,50 @@ def test_blocked_cosine_recall_bound(ray_session):
         recall = len(truth & found) / len(truth)
         # small-sample slack: one missed pair at ~200 true pairs
         assert recall >= bound - 0.01, (thr, recall)
+
+
+# --- graphalgo: PageRank ---------------------------------------------------
+def test_pagerank_distributed_matches_local(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.graphalgo import local_pagerank, pagerank
+
+    rng = np.random.default_rng(7)
+    nodes = [f"n{i:03d}" for i in range(200)]
+    edges = sorted({(nodes[a], nodes[b])
+                    for a, b in zip(rng.integers(0, 200, 800),
+                                    rng.integers(0, 200, 800)) if a != b})
+    loc = pd.Series(local_pagerank(edges)).sort_index()
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    dist = pagerank(ds, num_buckets=4).set_index("node")["rank"]
+    assert float((dist - loc).abs().max()) < 1e-12
+    assert abs(dist.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_and_hub(ray_session):
+    # star graph: every node points at hub; hub is dangling
+    from engine.graphalgo import local_pagerank
+
+    edges = [(f"s{i}", "hub") for i in range(10)]
+    r = local_pagerank(edges)
+    assert r["hub"] > max(v for k, v in r.items() if k != "hub")
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_auto_paths_agree(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.graphalgo import pagerank, pagerank_auto
+
+    rng = np.random.default_rng(11)
+    edges = sorted({(f"a{a}", f"b{b}")
+                    for a, b in zip(rng.integers(0, 40, 150),
+                                    rng.integers(0, 40, 150))})
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    auto = pagerank_auto(ds).set_index("node")["rank"]     # driver path
+    forced = pagerank(ds, num_buckets=3).set_index("node")["rank"]
+    assert float((auto - forced).abs().max()) < 1e-12
