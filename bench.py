@@ -123,6 +123,8 @@ def run_bench() -> dict:
         "customers_without_orders", "suppliers_with_returns",
         "events_top3_per_user", "events_funnel", "dup_span_docs",
         "ngram_contamination_docs", "pack_sequences",
+        "events_user_type_pivot", "events_lag_delta",
+        "orders_left_lineitem",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":
