@@ -1298,10 +1298,15 @@ def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
         g = df.groupby(["event_type", "value"], as_index=False).size()
         return g.rename(columns={"size": "n"})
 
+    # histogram keys = distinct (type, value) pairs, which scale with
+    # the corpus: bucket-fold sum (shuffle.grouped_sum), not Ray's
+    # per-group hash aggregate
+    from .shuffle import grouped_sum
+
     hist = (
-        ds.map_batches(combine, batch_format="pandas")
-        .groupby(["event_type", "value"])
-        .aggregate(Sum("n", alias_name="n"))
+        grouped_sum(ds.map_batches(combine, batch_format="pandas"),
+                    ["event_type", "value"], "n",
+                    rows_hint=_tbl_rows(sf_dir, "events"))
         .to_pandas()
     )
     rows = []
@@ -1851,10 +1856,15 @@ def events_value_quantiles_cont(sf_dir: str) -> pd.DataFrame:
         g = df.groupby(["event_type", "value"], as_index=False).size()
         return g.rename(columns={"size": "n"})
 
+    # histogram keys = distinct (type, value) pairs, which scale with
+    # the corpus: bucket-fold sum (shuffle.grouped_sum), not Ray's
+    # per-group hash aggregate
+    from .shuffle import grouped_sum
+
     hist = (
-        ds.map_batches(combine, batch_format="pandas")
-        .groupby(["event_type", "value"])
-        .aggregate(Sum("n", alias_name="n"))
+        grouped_sum(ds.map_batches(combine, batch_format="pandas"),
+                    ["event_type", "value"], "n",
+                    rows_hint=_tbl_rows(sf_dir, "events"))
         .to_pandas()
     )
     rows = []

@@ -160,3 +160,29 @@ def test_exact_dedup_bucket_count_invariant(ray_session):
                     rows_hint=500_000_000).to_pandas()  # forces huge nb
     key = ["doc_id"]
     pd.testing.assert_frame_equal(_sorted(a, key), _sorted(b, key))
+
+
+def test_grouped_sum_matches_pandas_any_buckets(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.shuffle import grouped_sum
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "k1": rng.integers(0, 500, 20000),
+        "k2": rng.choice(["a", "b", "c"], 20000),
+        "v1": rng.integers(-50, 50, 20000),
+        "v2": rng.integers(0, 1000, 20000),
+    })
+    want = (df.groupby(["k1", "k2"], as_index=False)[["v1", "v2"]].sum()
+            .sort_values(["k1", "k2"]).reset_index(drop=True))
+    ds = rd.from_pandas([df.iloc[i::7].reset_index(drop=True)
+                         for i in range(7)])
+    for nb in (1, 4, 257):
+        got = (grouped_sum(ds, ["k1", "k2"], ["v1", "v2"], num_buckets=nb)
+               .to_pandas()
+               .sort_values(["k1", "k2"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["k1", "k2", "v1", "v2"]], want, check_dtype=False)
