@@ -849,6 +849,35 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN lineitem l
               ON l.l_orderkey = o.o_orderkey
             GROUP BY 1 ORDER BY 1""",
+        "doc_length_outliers": """
+            WITH p AS (SELECT lang,
+                              percentile_disc(0.9)
+                                  WITHIN GROUP (ORDER BY n_chars) AS p90
+                       FROM documents GROUP BY 1)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN p USING (lang)
+            WHERE d.n_chars > p.p90
+            ORDER BY d.doc_id""",
+        "docs_temperature_sample": """
+            WITH c AS (SELECT lang, COUNT(*) AS n
+                       FROM documents GROUP BY 1),
+            t AS (SELECT lang, n,
+                         POWER(CAST(n AS DOUBLE)
+                               / (SELECT SUM(n) FROM c), 0.3) AS pw
+                  FROM c),
+            w AS (SELECT lang, n,
+                         pw / (SELECT SUM(pw) FROM t) AS wl
+                  FROM t),
+            p AS (SELECT lang,
+                         CAST(floor(least(1.0,
+                              wl * (SELECT SUM(n) FROM c) / n)
+                              * 4294967296.0) AS HUGEINT) AS lim
+                  FROM w)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN p USING (lang)
+            WHERE ((d.doc_id % 4294967296)::HUGEINT * 2654435761)
+                  % 4294967296 < p.lim
+            ORDER BY d.doc_id""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # kg_triples, kg_mentions_all, kg_dep_morphs, kg_top_entities,
         # kg_pagerank, ncrf_label_turns, ncrf_train_eval,

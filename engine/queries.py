@@ -2327,9 +2327,29 @@ def dedup_keep_docs(sf_dir: str) -> pd.DataFrame:
         threshold=0.6, rows_hint=rows)
     drops = clusters.map_batches(
         lambda df: df[df["doc_id"] != df["cluster_id"]][["doc_id"]],
-        batch_format="pandas")
-    kept = bucket_join(docs, drops, on="doc_id", how="anti",
-                       rows_hint=rows)
+        batch_format="pandas").materialize()
+    n_drops = drops.count()
+    if n_drops <= 1_000_000:
+        # dup sets are usually a small fraction: broadcast the drop ids
+        # once and anti-filter in place — no exchange at all
+        import ray
+
+        from .pathlog import note
+
+        note("dedup_keep", "broadcast_anti", n_drops=n_drops)
+        drop_ref = ray.put(frozenset(
+            drops.to_pandas()["doc_id"].to_numpy().tolist()))
+
+        def keep(df: pd.DataFrame, ref=drop_ref) -> pd.DataFrame:
+            return df[~df["doc_id"].isin(ray.get(ref))]
+
+        kept = docs.map_batches(keep, batch_format="pandas")
+    else:
+        from .pathlog import note
+
+        note("dedup_keep", "bucket_anti", n_drops=n_drops)
+        kept = bucket_join(docs, drops, on="doc_id", how="anti",
+                           rows_hint=rows)
     out = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
     out["doc_id"] = out["doc_id"].astype("int64")
     out["n_chars"] = out["n_chars"].astype("int64")
@@ -2449,5 +2469,100 @@ QUERIES.update(
     {
         "events_lag_delta": events_lag_delta,
         "orders_left_lineitem": orders_left_lineitem,
+    }
+)
+
+
+def doc_length_outliers(sf_dir: str) -> pd.DataFrame:
+    """Per-group outlier filter, the aggregate->broadcast->filter
+    pattern: per-lang p90 of n_chars from a histogram reduce (integer
+    values => exact percentile, no float boundary), thresholds
+    broadcast as a 5-row dict, flagged docs stream out. Two passes
+    over metadata-pruned columns, no shuffle of the doc rows."""
+    from .shuffle import grouped_sum
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    hist = (
+        grouped_sum(ds.map_batches(combine, batch_format="pandas"),
+                    ["lang", "n_chars"], "n",
+                    rows_hint=_tbl_rows(sf_dir, "documents"))
+        .to_pandas()
+    )
+    thresholds: dict[str, int] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        cum = g["n"].cumsum().to_numpy()
+        k = int(np.ceil(0.9 * cum[-1]))  # percentile_disc rank
+        thresholds[lang] = int(g["n_chars"].to_numpy()[
+            np.searchsorted(cum, k)])
+
+    def flag(df: pd.DataFrame, th=thresholds) -> pd.DataFrame:
+        lim = df["lang"].map(th)
+        return df[df["n_chars"] > lim]
+
+    out = (
+        ds.map_batches(flag, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out[["doc_id", "lang", "n_chars"]]
+
+
+def docs_temperature_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic temperature-rebalanced downsampling — applying
+    lang_sample_weights as a MATERIALIZED sample: per-lang keep
+    probability min(1, w_l * N / n_l) realized by an integer Knuth
+    multiplicative hash of doc_id ((id % 2^32) * 2654435761 % 2^32 <
+    floor(p * 2^32)) so the sample is reproducible, shuffle-free, and
+    bit-identical across any partitioning. Head languages shrink
+    toward the temperature target; rare languages keep everything."""
+    from ray.data.aggregate import Count
+
+    c = (
+        _rp(sf_dir, "documents", ["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    n = c["n"].to_numpy(np.float64)
+    total = float(n.sum())
+    pw = (n / total) ** 0.3
+    w = pw / pw.sum()
+    keep_p = np.minimum(1.0, w * total / n)
+    thresh = {lang: int(np.floor(p * 4294967296.0))
+              for lang, p in zip(c["lang"], keep_p)}
+
+    def sample(df: pd.DataFrame, th=thresh) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.uint64)
+        h = (ids % np.uint64(4294967296)) * np.uint64(2654435761) \
+            % np.uint64(4294967296)
+        lim = df["lang"].map(th).to_numpy(np.uint64)
+        return df[h < lim]
+
+    out = (
+        _rp(sf_dir, "documents", ["doc_id", "lang"])
+        .map_batches(sample, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "lang"]]
+
+
+QUERIES.update(
+    {
+        "doc_length_outliers": doc_length_outliers,
+        "docs_temperature_sample": docs_temperature_sample,
     }
 )
