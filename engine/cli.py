@@ -77,6 +77,13 @@ def main(argv=None) -> int:
     p.add_argument("--pred", required=True)
     p.add_argument("--keys", default="subj,pred,obj")
 
+    p = sub.add_parser("query")
+    p.add_argument("--name", required=True,
+                   help="a queries() entry; --name list prints them")
+    p.add_argument("--sf", default="/root/testdata/sf0.01")
+    p.add_argument("--out", default=None,
+                   help="parquet path; omit to print head to stdout")
+
     args = ap.parse_args(argv)
     started = _ensure_ray()
 
@@ -122,6 +129,23 @@ def main(argv=None) -> int:
         p_, r, f = evaluate_datasets(rd.read_parquet(args.gold),
                                      rd.read_parquet(args.pred), keys)
         print(json.dumps({"precision": p_, "recall": r, "f1": f}))
+    elif args.cmd == "query":
+        from .queries import QUERIES
+
+        if args.name == "list":
+            print(json.dumps(sorted(QUERIES)))
+        else:
+            if args.name not in QUERIES:
+                raise SystemExit(f"unknown query {args.name!r}; "
+                                 "try --name list")
+            res = QUERIES[args.name](args.sf)
+            df = res.to_pandas() if hasattr(res, "to_pandas") else res
+            if args.out:
+                df.to_parquet(args.out, index=False)
+                print(json.dumps({"out": args.out, "rows": len(df)}))
+            else:
+                print(df.head(20).to_string())
+                print(json.dumps({"rows": len(df)}))
     if started:
         import ray
 

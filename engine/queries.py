@@ -2329,7 +2329,10 @@ def dedup_keep_docs(sf_dir: str) -> pd.DataFrame:
         lambda df: df[df["doc_id"] != df["cluster_id"]][["doc_id"]],
         batch_format="pandas").materialize()
     n_drops = drops.count()
-    if n_drops <= 1_000_000:
+    # env override mirrors GRAFT_SMALL_B: force the bucketed path in
+    # tests / at deployments where dup fractions are known to be large
+    bcast_max = int(os.environ.get("GRAFT_KEEP_BCAST", 1_000_000))
+    if n_drops <= bcast_max:
         # dup sets are usually a small fraction: broadcast the drop ids
         # once and anti-filter in place — no exchange at all
         import ray

@@ -186,3 +186,15 @@ def test_grouped_sum_matches_pandas_any_buckets(ray_session):
                .sort_values(["k1", "k2"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(
             got[["k1", "k2", "v1", "v2"]], want, check_dtype=False)
+
+
+def test_dedup_keep_bucket_path_matches_broadcast(ray_session, monkeypatch):
+    import pandas as pd
+
+    from engine.queries import dedup_keep_docs
+
+    sf = "/root/testdata/sf0.001"
+    bcast = dedup_keep_docs(sf)
+    monkeypatch.setenv("GRAFT_KEEP_BCAST", "0")   # force bucket_join anti
+    forced = dedup_keep_docs(sf)
+    pd.testing.assert_frame_equal(bcast, forced)
