@@ -878,6 +878,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((d.doc_id % 4294967296)::HUGEINT * 2654435761)
                   % 4294967296 < p.lim
             ORDER BY d.doc_id""",
+        "events_profile": """
+            SELECT 'event_type' AS col,
+                   COUNT(*) - COUNT(event_type) AS n_nulls,
+                   COUNT(DISTINCT event_type) AS n_distinct FROM events
+            UNION ALL
+            SELECT 'user_id', COUNT(*) - COUNT(user_id),
+                   COUNT(DISTINCT user_id) FROM events
+            UNION ALL
+            SELECT 'value', COUNT(*) - COUNT(value),
+                   COUNT(DISTINCT value) FROM events
+            ORDER BY col""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # kg_triples, kg_mentions_all, kg_dep_morphs, kg_top_entities,
         # kg_pagerank, ncrf_label_turns, ncrf_train_eval,

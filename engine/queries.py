@@ -2569,3 +2569,60 @@ QUERIES.update(
         "docs_temperature_sample": docs_temperature_sample,
     }
 )
+
+
+def events_profile(sf_dir: str) -> pd.DataFrame:
+    """Data-quality profile (the describe-before-training op): per
+    column, exact null and distinct counts. One pass: each batch
+    explodes into (col, value-string) partials deduped map-side, one
+    bucket-fold exchange counts distincts per column (a value lives in
+    exactly one bucket, so bucket partials are disjoint), null counts
+    ride a tiny side aggregate. str(float64) is shortest-round-trip
+    and injective, so stringified distinct counts are exact."""
+    from .shuffle import auto_buckets, bucket_partitions
+
+    cols = ["event_type", "user_id", "value"]
+    ds = _rp(sf_dir, "events", cols)
+    nb = auto_buckets(_tbl_rows(sf_dir, "events"))
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for c in cols:
+            s = df[c]
+            vals = s.dropna().astype(str).unique()
+            p = pd.DataFrame({"col": c, "val": vals})
+            parts.append(p)
+            parts.append(pd.DataFrame(
+                {"col": [c], "val": [None],
+                 "nulls": [int(s.isna().sum())]}))
+        out = pd.concat(parts, ignore_index=True)
+        if "nulls" not in out:
+            out["nulls"] = 0
+        out["nulls"] = out["nulls"].fillna(0).astype("int64")
+        out["__gb"] = (
+            (pd.util.hash_pandas_object(out["col"], index=False)
+             ^ pd.util.hash_pandas_object(out["val"].fillna("\0"),
+                                          index=False))
+            % np.uint64(nb)).astype("int64")
+        return out[["col", "val", "nulls", "__gb"]]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[g["val"].notna()]
+        nd = vals.drop_duplicates(["col", "val"]) \
+            .groupby("col", as_index=False).agg(n_distinct=("val", "size"))
+        nn = g.groupby("col", as_index=False).agg(n_nulls=("nulls", "sum"))
+        return nd.merge(nn, on="col", how="outer").fillna(0)
+
+    part = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("__gb", num_partitions=bucket_partitions(nb))
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out = part.groupby("col", as_index=False)[["n_nulls", "n_distinct"]].sum()
+    out["n_nulls"] = out["n_nulls"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out.sort_values("col").reset_index(drop=True)
+
+
+QUERIES["events_profile"] = events_profile

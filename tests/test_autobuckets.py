@@ -198,3 +198,42 @@ def test_dedup_keep_bucket_path_matches_broadcast(ray_session, monkeypatch):
     monkeypatch.setenv("GRAFT_KEEP_BCAST", "0")   # force bucket_join anti
     forced = dedup_keep_docs(sf)
     pd.testing.assert_frame_equal(bcast, forced)
+
+
+def test_pack_sequences_invariants(ray_session):
+    from engine.queries import pack_sequences
+
+    out = pack_sequences("/root/testdata/sf0.001")
+    for (_, b), g in out.groupby(["bucket", "bin"]):
+        # a bin respects the budget unless it holds a single oversized doc
+        assert g["n_tokens"].sum() <= 256 or len(g) == 1
+    for _, g in out.groupby("bucket"):
+        g = g.sort_values("doc_id")
+        bins = g["bin"].to_numpy()
+        assert bins[0] == 0
+        # bins are consecutive and nondecreasing in doc_id order
+        import numpy as np
+        d = np.diff(bins)
+        assert ((d == 0) | (d == 1)).all()
+
+
+def test_events_funnel_stage_semantics(ray_session):
+    import duckdb
+
+    from engine.queries import events_funnel
+
+    sf = "/root/testdata/sf0.001"
+    out = events_funnel(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * "
+                f"FROM read_parquet('{sf}/events.parquet')")
+    n_users = con.execute("SELECT COUNT(DISTINCT user_id) FROM events") \
+        .fetchone()[0]
+    assert len(out) == n_users
+    assert out["funnel_stage"].between(0, 3).all()
+    # stage >= 1 iff the user has at least one view
+    viewers = {r[0] for r in con.execute(
+        "SELECT DISTINCT user_id FROM events WHERE event_type='view'")
+        .fetchall()}
+    got = set(out.loc[out["funnel_stage"] >= 1, "user_id"])
+    assert got == viewers
