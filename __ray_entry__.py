@@ -54,7 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     oracled = set(oracle_sql())
     first = ["embed_dup_clusters", "events_retention"]
     heavy = ["kg_triples", "kg_mentions_all", "kg_dep_morphs",
-             "kg_top_entities", "kg_pagerank", "ncrf_train_eval"]
+             "kg_top_entities", "kg_pagerank", "kg_two_hop",
+             "ncrf_train_eval"]
     out = {k: q[k] for k in first if k in q}
     out.update((k, v) for k, v in q.items()
                if k not in first and k in oracled)

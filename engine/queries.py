@@ -2626,3 +2626,73 @@ def events_profile(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["events_profile"] = events_profile
+
+
+def kg_two_hop(sf_dir: str) -> pd.DataFrame:
+    """KG graph query: 2-hop reachability over the constructed triples
+    — a SELF-JOIN of the edge set on the middle node (l.obj = r.subj)
+    through the packed bucket join, then a bucket-fold distinct count
+    of (src, dst) path pairs. The join key is the entity id, so hub
+    entities co-locate but per-bucket heap stays bounded by the
+    auto-scaled bucket count. Rows-only (triples are engine-built, not
+    a DuckDB view); top-50 pairs by path count."""
+    from .joins import bucket_join
+    from .pipeline import triples_dataset
+
+    t = triples_dataset(transcripts_path(sf_dir)).materialize()
+    n = t.count()
+
+    left = t.map_batches(
+        lambda df: df[["subj", "obj"]]
+        .rename(columns={"subj": "src", "obj": "mid"})
+        .drop_duplicates(),
+        batch_format="pandas")
+    right = t.map_batches(
+        lambda df: df[["subj", "obj"]]
+        .rename(columns={"subj": "mid", "obj": "dst"})
+        .drop_duplicates(),
+        batch_format="pandas")
+    hops = bucket_join(left, right, on="mid", how="inner", rows_hint=n)
+
+    # n_paths = DISTINCT middle nodes connecting (src, dst). Per-batch
+    # dedup alone is not enough — the same (src, mid, dst) can arrive
+    # from different input blocks — so the fold buckets on hash(src,
+    # dst) (all duplicates of a pair co-locate) and dedups globally
+    # before counting.
+    from .shuffle import auto_buckets, bucket_partitions
+
+    nb = auto_buckets(n)
+
+    def shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["src"] != df["dst"]][["src", "mid", "dst"]] \
+            .drop_duplicates()
+        df = df.copy()
+        df["__gb"] = (
+            (pd.util.hash_pandas_object(df["src"], index=False)
+             ^ pd.util.hash_pandas_object(df["dst"], index=False))
+            % np.uint64(nb)).astype("int64")
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["src", "mid", "dst"])
+        return d.groupby(["src", "dst"], as_index=False).agg(
+            n_paths=("mid", "size"))
+
+    out = (
+        hops.map_batches(shard, batch_format="pandas")
+        .groupby("__gb", num_partitions=bucket_partitions(nb))
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"src": pd.Series([], dtype="object"),
+                             "dst": pd.Series([], dtype="object"),
+                             "n_paths": pd.Series([], dtype="int64")})
+    out["n_paths"] = out["n_paths"].astype("int64")
+    return (out.sort_values(["n_paths", "src", "dst"],
+                            ascending=[False, True, True])
+            .head(50)
+            .reset_index(drop=True))
+
+
+QUERIES["kg_two_hop"] = kg_two_hop

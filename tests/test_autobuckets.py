@@ -237,3 +237,24 @@ def test_events_funnel_stage_semantics(ray_session):
         .fetchall()}
     got = set(out.loc[out["funnel_stage"] >= 1, "user_id"])
     assert got == viewers
+
+
+def test_kg_two_hop_matches_brute_force(ray_session):
+    import pandas as pd
+
+    from engine.pipeline import triples_dataset
+    from engine.queries import kg_two_hop, transcripts_path
+
+    sf = "/root/testdata/sf0.001"
+    got = kg_two_hop(sf)
+    t = triples_dataset(transcripts_path(sf)).to_pandas()
+    e = t[["subj", "obj"]].drop_duplicates()
+    j = e.rename(columns={"subj": "src", "obj": "mid"}).merge(
+        e.rename(columns={"subj": "mid", "obj": "dst"}), on="mid")
+    j = j[j["src"] != j["dst"]].drop_duplicates()
+    want = (j.groupby(["src", "dst"], as_index=False)
+            .agg(n_paths=("mid", "size"))
+            .sort_values(["n_paths", "src", "dst"],
+                         ascending=[False, True, True])
+            .head(50).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
