@@ -180,8 +180,11 @@ def test_grouped_sum_matches_pandas_any_buckets(ray_session):
             .sort_values(["k1", "k2"]).reset_index(drop=True))
     ds = rd.from_pandas([df.iloc[i::7].reset_index(drop=True)
                          for i in range(7)])
-    for nb in (1, 4, 257):
-        got = (grouped_sum(ds, ["k1", "k2"], ["v1", "v2"], num_buckets=nb)
+    # driver-fold path (default threshold) and FORCED bucket path
+    # (driver_threshold=0) across bucket counts must all agree
+    for nb, thresh in ((1, 0), (4, 0), (257, 0), (16, None)):
+        got = (grouped_sum(ds, ["k1", "k2"], ["v1", "v2"],
+                           num_buckets=nb, driver_threshold=thresh)
                .to_pandas()
                .sort_values(["k1", "k2"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(
