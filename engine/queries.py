@@ -167,22 +167,48 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
 
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def partial_rev(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df["rev_units"] = _rev_units(df["l_extendedprice"], df["l_discount"])
-        g = df.groupby("l_orderkey", as_index=False)["rev_units"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    joined = li.map_batches(partial_rev, batch_format="pyarrow").join(
-        orders_f.map_batches(lambda t: t.select(["l_orderkey"]),
-                             batch_format="pyarrow"),
-        "inner", 16, on=("l_orderkey",),
-    )
-    # orderkey is a corpus-scaled key space: bucket-fold sum (Ray's
-    # hash aggregate pays per-group overhead), then per-block top-10
-    # partials so the driver merges <=10 rows per block, never the
-    # full per-order frame
+    # the qualifying orderkey set is segment-selective (~1/5 of orders,
+    # 8 bytes/key): below the threshold it broadcasts via ray.put and
+    # the semi-join becomes a map-side is_in filter BEFORE the partial
+    # combiner — no join exchange, and the partials shrink by the
+    # selectivity. Above it, the hash join runs (the q5/verify_pairs
+    # scale-aware idiom).
+    okeys_ds = orders_f.map_batches(
+        lambda t: t.select(["l_orderkey"]), batch_format="pyarrow"
+    ).materialize()
+    n_keys = okeys_ds.count()
+    from .pathlog import note
     from .shuffle import grouped_sum
+
+    if n_keys <= 5_000_000:
+        note("q3", "broadcast_semi", n_keys=n_keys)
+        okeys = pa.concat_tables(
+            [b for b in okeys_ds.iter_batches(batch_format="pyarrow")]
+        )["l_orderkey"].combine_chunks()
+        oref = ray.put(okeys)
+
+        def partial_rev(t: pa.Table, oref=oref) -> pa.Table:
+            t = t.filter(pc.is_in(t["l_orderkey"], value_set=ray.get(oref)))
+            df = t.to_pandas()
+            df["rev_units"] = _rev_units(df["l_extendedprice"],
+                                         df["l_discount"])
+            g = df.groupby("l_orderkey", as_index=False)["rev_units"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        joined = li.map_batches(partial_rev, batch_format="pyarrow")
+    else:
+        note("q3", "hash_join", n_keys=n_keys)
+
+        def partial_rev(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df["rev_units"] = _rev_units(df["l_extendedprice"],
+                                         df["l_discount"])
+            g = df.groupby("l_orderkey", as_index=False)["rev_units"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        joined = li.map_batches(partial_rev, batch_format="pyarrow").join(
+            okeys_ds, "inner", 16, on=("l_orderkey",),
+        )
 
     rev = (
         grouped_sum(joined, "l_orderkey", "rev_units",
