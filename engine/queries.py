@@ -867,35 +867,24 @@ def distinct_suppliers_per_flag(sf_dir: str) -> pd.DataFrame:
     def pairs(t: pa.Table) -> pd.DataFrame:
         return t.to_pandas().drop_duplicates()
 
-    # bucket-fold instead of a hash aggregate over the (flag, suppkey)
-    # key space (which scales with the corpus and pays Ray per-group
-    # overhead): map-side per-batch dedup, one exchange on the pair
-    # hash, per-bucket dedup + per-flag partial counts (a pair lives in
-    # exactly one bucket, so bucket counts are disjoint), then a
-    # driver sum over the O(buckets x flags) partials.
-    from .shuffle import auto_buckets, bucket_partitions
-
-    nb = auto_buckets(_tbl_rows(sf_dir, "supplier"))
-
-    def pairs_b(t: pa.Table) -> pd.DataFrame:
-        df = t.to_pandas().drop_duplicates()
-        df["__gb"] = (
-            (pd.util.hash_pandas_object(df["l_returnflag"], index=False)
-             ^ pd.util.hash_pandas_object(df["l_suppkey"], index=False))
-            % np.uint64(nb)).astype("int64")
-        return df
+    # keyed distinct fold over the (flag, suppkey) pair space (scales
+    # with the corpus — Ray's hash aggregate is pathological there):
+    # map-side per-batch dedup, then shuffle.grouped_fold (driver-local
+    # under the partials threshold, pair-hash bucketed above; a pair
+    # lives in exactly one bucket so counts are disjoint), then a tiny
+    # final sum over the O(buckets x flags) partials.
+    from .shuffle import grouped_fold
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         d = g.drop_duplicates(["l_returnflag", "l_suppkey"])
         return d.groupby("l_returnflag", as_index=False).agg(
             n_suppliers=("l_suppkey", "size"))
 
-    part = (
-        ds.map_batches(pairs_b, batch_format="pyarrow")
-        .groupby("__gb", num_partitions=bucket_partitions(nb))
-        .map_groups(fold, batch_format="pandas")
-        .to_pandas()
-    )
+    part = grouped_fold(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["l_returnflag", "l_suppkey"], fold,
+        rows_hint=_tbl_rows(sf_dir, "supplier"),
+    ).to_pandas()
     out = part.groupby("l_returnflag", as_index=False)["n_suppliers"].sum()
     out["n_suppliers"] = out["n_suppliers"].astype("int64")
     return out.sort_values("l_returnflag").reset_index(drop=True)
@@ -2605,46 +2594,36 @@ def events_profile(sf_dir: str) -> pd.DataFrame:
     exactly one bucket, so bucket partials are disjoint), null counts
     ride a tiny side aggregate. str(float64) is shortest-round-trip
     and injective, so stringified distinct counts are exact."""
-    from .shuffle import auto_buckets, bucket_partitions
+    from .shuffle import grouped_fold
 
     cols = ["event_type", "user_id", "value"]
     ds = _rp(sf_dir, "events", cols)
-    nb = auto_buckets(_tbl_rows(sf_dir, "events"))
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         parts = []
         for c in cols:
             s = df[c]
             vals = s.dropna().astype(str).unique()
-            p = pd.DataFrame({"col": c, "val": vals})
-            parts.append(p)
             parts.append(pd.DataFrame(
-                {"col": [c], "val": [None],
+                {"col": c, "val": vals, "nulls": np.int64(0)}))
+            parts.append(pd.DataFrame(
+                {"col": [c], "val": ["\0null"],
                  "nulls": [int(s.isna().sum())]}))
         out = pd.concat(parts, ignore_index=True)
-        if "nulls" not in out:
-            out["nulls"] = 0
-        out["nulls"] = out["nulls"].fillna(0).astype("int64")
-        out["__gb"] = (
-            (pd.util.hash_pandas_object(out["col"], index=False)
-             ^ pd.util.hash_pandas_object(out["val"].fillna("\0"),
-                                          index=False))
-            % np.uint64(nb)).astype("int64")
-        return out[["col", "val", "nulls", "__gb"]]
+        out["nulls"] = out["nulls"].astype("int64")
+        return out[["col", "val", "nulls"]]
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        vals = g[g["val"].notna()]
+        vals = g[g["val"] != "\0null"]
         nd = vals.drop_duplicates(["col", "val"]) \
             .groupby("col", as_index=False).agg(n_distinct=("val", "size"))
         nn = g.groupby("col", as_index=False).agg(n_nulls=("nulls", "sum"))
         return nd.merge(nn, on="col", how="outer").fillna(0)
 
-    part = (
-        ds.map_batches(explode, batch_format="pandas")
-        .groupby("__gb", num_partitions=bucket_partitions(nb))
-        .map_groups(fold, batch_format="pandas")
-        .to_pandas()
-    )
+    part = grouped_fold(
+        ds.map_batches(explode, batch_format="pandas"),
+        ["col", "val"], fold, rows_hint=_tbl_rows(sf_dir, "events"),
+    ).to_pandas()
     out = part.groupby("col", as_index=False)[["n_nulls", "n_distinct"]].sum()
     out["n_nulls"] = out["n_nulls"].astype("int64")
     out["n_distinct"] = out["n_distinct"].astype("int64")
@@ -2682,34 +2661,24 @@ def kg_two_hop(sf_dir: str) -> pd.DataFrame:
 
     # n_paths = DISTINCT middle nodes connecting (src, dst). Per-batch
     # dedup alone is not enough — the same (src, mid, dst) can arrive
-    # from different input blocks — so the fold buckets on hash(src,
-    # dst) (all duplicates of a pair co-locate) and dedups globally
-    # before counting.
-    from .shuffle import auto_buckets, bucket_partitions
+    # from different input blocks — so the fold keys on (src, dst)
+    # (all duplicates of a pair co-locate; driver-local under the
+    # grouped_fold threshold) and dedups globally before counting.
+    from .shuffle import grouped_fold
 
-    nb = auto_buckets(n)
-
-    def shard(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["src"] != df["dst"]][["src", "mid", "dst"]] \
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["src"] != df["dst"]][["src", "mid", "dst"]] \
             .drop_duplicates()
-        df = df.copy()
-        df["__gb"] = (
-            (pd.util.hash_pandas_object(df["src"], index=False)
-             ^ pd.util.hash_pandas_object(df["dst"], index=False))
-            % np.uint64(nb)).astype("int64")
-        return df
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         d = g.drop_duplicates(["src", "mid", "dst"])
         return d.groupby(["src", "dst"], as_index=False).agg(
             n_paths=("mid", "size"))
 
-    out = (
-        hops.map_batches(shard, batch_format="pandas")
-        .groupby("__gb", num_partitions=bucket_partitions(nb))
-        .map_groups(fold, batch_format="pandas")
-        .to_pandas()
-    )
+    out = grouped_fold(
+        hops.map_batches(prep, batch_format="pandas"),
+        ["src", "dst"], fold, rows_hint=n,
+    ).to_pandas()
     if out.empty:
         return pd.DataFrame({"src": pd.Series([], dtype="object"),
                              "dst": pd.Series([], dtype="object"),

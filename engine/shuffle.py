@@ -115,3 +115,54 @@ def grouped_sum(ds, keys, sum_cols, rows_hint: int | None = None,
         .groupby("__gb", num_partitions=bucket_partitions(nb))
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def grouped_fold(ds, keys, fold_fn, rows_hint: int | None = None,
+                 num_buckets: int | None = None,
+                 driver_threshold: int | None = None):
+    """Generic keyed fold with the same scale-aware shape as
+    grouped_sum: `fold_fn(frame) -> frame` must be exact when given
+    EVERY row of each key group (dedup-then-count, distinct folds,
+    top-k per key...). Below the partials threshold the fold runs once
+    on the driver (all groups complete by construction); above it rows
+    bucket by hash(keys) — a key's rows co-locate — and the fold runs
+    per bucket. Callers' fold_fn must therefore be distributive over
+    DISJOINT KEY SETS, which keyed folds are by definition."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    nb = num_buckets or auto_buckets(rows_hint)
+
+    mat = ds.materialize()
+    n_rows = mat.count()
+    thresh = (driver_threshold if driver_threshold is not None
+              else int(os.environ.get("GRAFT_GSUM_DRIVER", 2_000_000)))
+    from .pathlog import note
+
+    if n_rows <= thresh:
+        import ray.data as rd
+
+        note("grouped_fold", "driver_fold", n_rows=n_rows)
+        return rd.from_pandas(fold_fn(mat.to_pandas()))
+
+    note("grouped_fold", "bucket_fold", n_rows=n_rows, num_buckets=nb)
+
+    def shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df[keys[0]], index=False)
+        for k in keys[1:]:
+            h = h ^ pd.util.hash_pandas_object(df[k], index=False)
+        df["__gb"] = (h % np.uint64(nb)).astype("int64")
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return fold_fn(g.drop(columns="__gb"))
+
+    return (
+        mat.map_batches(shard, batch_format="pandas")
+        .groupby("__gb", num_partitions=bucket_partitions(nb))
+        .map_groups(fold, batch_format="pandas")
+    )

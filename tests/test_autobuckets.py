@@ -261,3 +261,31 @@ def test_kg_two_hop_matches_brute_force(ray_session):
                          ascending=[False, True, True])
             .head(50).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_fold_paths_agree(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.shuffle import grouped_fold
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.integers(0, 300, 10000),
+                       "m": rng.integers(0, 40, 10000)})
+
+    def fold(g):
+        d = g.drop_duplicates(["k", "m"])
+        return d.groupby("k", as_index=False).agg(n=("m", "size"))
+
+    ds = rd.from_pandas([df.iloc[i::5].reset_index(drop=True)
+                         for i in range(5)])
+    driver = (grouped_fold(ds, "k", fold).to_pandas()
+              .sort_values("k").reset_index(drop=True))
+    forced = (grouped_fold(ds, "k", fold, driver_threshold=0,
+                           num_buckets=13).to_pandas()
+              .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(driver, forced, check_dtype=False)
+    want = (df.drop_duplicates().groupby("k", as_index=False)
+            .agg(n=("m", "size")).sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(driver, want, check_dtype=False)
