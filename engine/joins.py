@@ -72,6 +72,47 @@ def bucket_join(left, right, on: list[str] | str,
 
     on_cols = [on] if isinstance(on, str) else list(on)
 
+    def _key_of(df: pd.DataFrame) -> pd.Series:
+        key = df[on_cols[0]].astype("string").fillna("")
+        for c in on_cols[1:]:
+            key = key + "\x1f" + df[c].astype("string").fillna("")
+        return key
+
+    # existence joins consult the right side for KEY MEMBERSHIP only,
+    # so only its distinct keys matter: below a threshold they ship
+    # once via ray.put and the join is a map-side isin filter — no
+    # exchange at all (in a flagship-tuned session each hash exchange
+    # costs ~3 s of fixed wall). Above it, the packed bucket join runs.
+    if how in ("semi", "anti"):
+        import os
+
+        import ray
+
+        from .pathlog import note
+
+        keys_ds = right.map_batches(
+            lambda df: pd.DataFrame(
+                {"__k": pd.unique(_key_of(df))}) if len(df)
+            else pd.DataFrame({"__k": pd.Series([], dtype="string")}),
+            batch_format="pandas",
+        ).materialize()
+        n_keys = keys_ds.count()
+        bcast_max = int(os.environ.get("GRAFT_EXIST_BCAST", 2_000_000))
+        if n_keys <= bcast_max:
+            note("bucket_join", f"broadcast_{how}", n_keys=n_keys)
+            kset = frozenset(keys_ds.to_pandas()["__k"])
+            kref = ray.put(kset)
+
+            def exist(df: pd.DataFrame, kref=kref) -> pd.DataFrame:
+                if df.empty:
+                    return df
+                mask = _key_of(df).isin(ray.get(kref)).to_numpy()
+                return df[mask] if how == "semi" else df[~mask]
+
+            return left.map_batches(exist, batch_format="pandas")
+        note("bucket_join", f"bucket_{how}", n_keys=n_keys,
+             num_buckets=num_buckets)
+
     def pack(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             if df.empty or on_cols[0] not in df.columns:

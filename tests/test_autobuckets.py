@@ -289,3 +289,31 @@ def test_grouped_fold_paths_agree(ray_session):
     want = (df.drop_duplicates().groupby("k", as_index=False)
             .agg(n=("m", "size")).sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(driver, want, check_dtype=False)
+
+
+def test_existence_join_paths_agree(ray_session, monkeypatch):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.joins import bucket_join
+
+    rng = np.random.default_rng(9)
+    l = pd.DataFrame({"k": rng.integers(0, 80, 500),
+                      "a": rng.integers(0, 9, 500)})
+    r = pd.DataFrame({"k": rng.integers(0, 80, 200)})
+    for how in ("semi", "anti"):
+        bcast = (bucket_join(rd.from_pandas(l), rd.from_pandas(r),
+                             on="k", how=how).to_pandas()
+                 .sort_values(["k", "a"]).reset_index(drop=True))
+        monkeypatch.setenv("GRAFT_EXIST_BCAST", "0")
+        forced = (bucket_join(rd.from_pandas(l), rd.from_pandas(r),
+                              on="k", how=how, num_buckets=17).to_pandas()
+                  .sort_values(["k", "a"]).reset_index(drop=True))
+        monkeypatch.delenv("GRAFT_EXIST_BCAST")
+        pd.testing.assert_frame_equal(bcast, forced)
+        keys = set(r["k"])
+        want = (l[l["k"].isin(keys)] if how == "semi"
+                else l[~l["k"].isin(keys)])
+        want = want.sort_values(["k", "a"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(bcast, want)
