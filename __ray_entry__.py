@@ -890,6 +890,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'value', COUNT(*) - COUNT(value),
                    COUNT(DISTINCT value) FROM events
             ORDER BY col""",
+        "events_value_histogram": """
+            SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bin,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # kg_triples, kg_mentions_all, kg_dep_morphs, kg_top_entities,
         # kg_pagerank, ncrf_label_turns, ncrf_train_eval,

@@ -2691,3 +2691,40 @@ def kg_two_hop(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["kg_two_hop"] = kg_two_hop
+
+
+def events_value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width histogram (50-unit bins) per event type with exact
+    integer-cent mass — the binned-distribution op: per-batch combiner
+    collapses each block to <= types x bins rows, the final fold is
+    grouped_sum (driver-local at this partial size). Bin edges use the
+    same double division both sides, so bin assignment is bit-equal."""
+    from .shuffle import grouped_sum
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        out = pd.DataFrame({
+            "event_type": df["event_type"],
+            "bin": np.floor(v / 50.0).astype("int64"),
+            "n": np.int64(1),
+            "sum_cents": np.round(v * 100).astype("int64"),
+        })
+        return out.groupby(["event_type", "bin"], as_index=False).agg(
+            n=("n", "sum"), sum_cents=("sum_cents", "sum"))
+
+    out = (
+        grouped_sum(ds.map_batches(combine, batch_format="pandas"),
+                    ["event_type", "bin"], ["n", "sum_cents"],
+                    rows_hint=_tbl_rows(sf_dir, "events"))
+        .to_pandas()
+        .sort_values(["event_type", "bin"])
+        .reset_index(drop=True)
+    )
+    for c in ("bin", "n", "sum_cents"):
+        out[c] = out[c].astype("int64")
+    return out[["event_type", "bin", "n", "sum_cents"]]
+
+
+QUERIES["events_value_histogram"] = events_value_histogram
