@@ -896,6 +896,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
                         AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "parts_multi_supplier": """
+            SELECT l_partkey AS p_partkey,
+                   COUNT(DISTINCT l_suppkey) AS n_suppliers
+            FROM lineitem GROUP BY 1
+            HAVING COUNT(DISTINCT l_suppkey) >= 20
+            ORDER BY 1""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # kg_triples, kg_mentions_all, kg_dep_morphs, kg_top_entities,
         # kg_pagerank, ncrf_label_turns, ncrf_train_eval,

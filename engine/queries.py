@@ -2728,3 +2728,40 @@ def events_value_histogram(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["events_value_histogram"] = events_value_histogram
+
+
+def parts_multi_supplier(sf_dir: str) -> pd.DataFrame:
+    """HAVING over a corpus-scaled distinct count: parts stocked by at
+    least 20 distinct suppliers. Exact COUNT(DISTINCT) per part through
+    grouped_fold (per-batch pair dedup, driver-local under the partials
+    threshold, pair-bucketed above), then the integer HAVING filter —
+    no float boundary anywhere."""
+    from .shuffle import grouped_fold
+
+    ds = _rp(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["l_partkey", "l_suppkey"])
+        return d.groupby("l_partkey", as_index=False).agg(
+            n_suppliers=("l_suppkey", "size"))
+
+    # bucket by PART ONLY (not the pair): a part's rows must co-locate
+    # so its distinct count is complete in one fold row — the HAVING
+    # filter then applies directly
+    out = grouped_fold(
+        ds.map_batches(pairs, batch_format="pandas"),
+        "l_partkey", fold,
+        rows_hint=_tbl_rows(sf_dir, "part"),
+    ).to_pandas()
+    out = out[out["n_suppliers"] >= 20]
+    out["l_partkey"] = out["l_partkey"].astype("int64")
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return (out.rename(columns={"l_partkey": "p_partkey"})
+            .sort_values("p_partkey").reset_index(drop=True)
+            [["p_partkey", "n_suppliers"]])
+
+
+QUERIES["parts_multi_supplier"] = parts_multi_supplier
