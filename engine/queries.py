@@ -348,13 +348,17 @@ def top_suppliers(sf_dir: str) -> pd.DataFrame:
         units = _rev_units(t["l_extendedprice"].to_numpy(zero_copy_only=False),
                            t["l_discount"].to_numpy(zero_copy_only=False))
         return pa.table({"l_suppkey": t["l_suppkey"],
-                         "rev_units": pa.array(units, pa.int64())})
+                         "rev_units": pa.array(units, pa.int64()),
+                         "n_items": pa.array(np.ones(len(t), np.int64))})
 
-    agg = (
-        li.map_batches(derive, batch_format="pyarrow")
-        .groupby("l_suppkey")
-        .aggregate(Sum("rev_units", alias_name="rev_units"),
-                   Count(alias_name="n_items"))
+    # suppkey scales with the corpus: grouped_sum bucket-fold, not
+    # Ray's per-group hash aggregate
+    from .shuffle import grouped_sum
+
+    agg = grouped_sum(
+        li.map_batches(derive, batch_format="pyarrow"),
+        "l_suppkey", ["rev_units", "n_items"],
+        rows_hint=_tbl_rows(sf_dir, "supplier"),
     )
     supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
     out = (
@@ -406,11 +410,29 @@ def customer_top_spenders(sf_dir: str) -> pd.DataFrame:
 
     from .joins import broadcast_join
 
-    agg = (
+    # custkey scales with the corpus: exact integer cents through the
+    # grouped_sum bucket-fold (also removes the float-summation-order
+    # dependence the hash aggregate had)
+    from .shuffle import grouped_sum
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"],
+            "spent_cents": np.round(df["o_totalprice"].to_numpy() * 100)
+                             .astype("int64"),
+            "n_orders": np.ones(len(df), dtype="int64"),
+        })
+
+    agg = grouped_sum(
         _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .groupby("o_custkey")
-        .aggregate(Sum("o_totalprice", alias_name="total_spent"),
-                   Count(alias_name="n_orders"))
+        .map_batches(cents, batch_format="pandas"),
+        "o_custkey", ["spent_cents", "n_orders"],
+        rows_hint=_tbl_rows(sf_dir, "customer"),
+    ).map_batches(
+        lambda df: df.assign(
+            total_spent=df["spent_cents"].to_numpy(np.int64) / 100.0)
+        .drop(columns="spent_cents"),
+        batch_format="pandas",
     )
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
     out = (
@@ -504,15 +526,28 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
 def events_top_users(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count
 
-    return (
-        _rp(sf_dir, "events", ["user_id"])
-        .groupby("user_id")
-        .aggregate(Count(alias_name="n_events"))
+    # user_id scales with the corpus: bucket-fold count + per-block
+    # top-10 partials (the driver merges <=10 rows per block)
+    from .shuffle import grouped_sum
+
+    out = (
+        grouped_sum(
+            _rp(sf_dir, "events", ["user_id"]).map_batches(
+                lambda df: df.assign(
+                    n_events=np.ones(len(df), dtype="int64")),
+                batch_format="pandas"),
+            "user_id", "n_events", rows_hint=_tbl_rows(sf_dir, "events"))
+        .map_batches(
+            lambda df: df.sort_values(["n_events", "user_id"],
+                                      ascending=[False, True]).head(10),
+            batch_format="pandas")
         .to_pandas()
         .sort_values(["n_events", "user_id"], ascending=[False, True])
         .head(10)
         .reset_index(drop=True)
     )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
 
 
 def events_sessions(sf_dir: str) -> pd.DataFrame:
@@ -1561,11 +1596,14 @@ def tfidf_doc_score(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"term": list(c.keys()),
                              "df": pd.Series(list(c.values()), dtype="int64")})
 
+    from .shuffle import grouped_sum
+
     df_tbl = (
-        docs.map_batches(df_partial, batch_format="pandas")
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
-        .to_pandas()  # vocabulary-sized, bounded
+        grouped_sum(docs.map_batches(df_partial, batch_format="pandas"),
+                    "term", "df",
+                    rows_hint=_tbl_rows(sf_dir, "documents"))
+        .to_pandas()  # vocabulary-sized result (the key space still
+        # scales with a real corpus's vocab, hence the fold)
     )
     idf = {t: round(math.log(n_docs / d), 8)
            for t, d in zip(df_tbl["term"], df_tbl["df"])}
@@ -2395,17 +2433,19 @@ def kg_pagerank(sf_dir: str) -> pd.DataFrame:
     from .graphalgo import pagerank_auto
     from .pipeline import triples_dataset
 
-    edges = (
+    from .shuffle import grouped_fold
+
+    # global edge dedup: edges scale with the corpus, so the distinct
+    # fold goes through grouped_fold (pair-keyed), not a hash aggregate
+    edges = grouped_fold(
         triples_dataset(transcripts_path(sf_dir))
         .map_batches(
             lambda df: df[["subj", "obj"]]
             .rename(columns={"subj": "src", "obj": "dst"})
             .drop_duplicates(),
             batch_format="pandas",
-        )
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["src", "dst"])
+        ),
+        ["src", "dst"], lambda g: g.drop_duplicates(["src", "dst"]),
     )
     ranks = pagerank_auto(edges)
     ranks["rank"] = ranks["rank"].round(6)
