@@ -902,6 +902,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY 1
             HAVING COUNT(DISTINCT l_suppkey) >= 20
             ORDER BY 1""",
+        "docs_split_assign": """
+            SELECT doc_id, lang,
+                   CASE WHEN ((doc_id % 4294967296)::HUGEINT * 2654435761)
+                             % 4294967296 < 429496729
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents ORDER BY doc_id""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # kg_triples, kg_mentions_all, kg_dep_morphs, kg_top_entities,
         # kg_pagerank, ncrf_label_turns, ncrf_train_eval,

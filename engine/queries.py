@@ -2805,3 +2805,33 @@ def parts_multi_supplier(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["parts_multi_supplier"] = parts_multi_supplier
+
+
+def docs_split_assign(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified train/val split (the dataset-freeze
+    op): each doc lands in 'val' iff its Knuth multiplicative hash
+    falls under 10% of the 2^32 range — reproducible, shuffle-free,
+    partitioning-independent, and stratified by construction (the hash
+    is uniform within every language). Output: doc_id, lang, split."""
+    thresh = np.uint64(429496729)  # floor(0.1 * 2^32)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.uint64)
+        h = (ids % np.uint64(4294967296)) * np.uint64(2654435761) \
+            % np.uint64(4294967296)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "lang": df["lang"],
+            "split": np.where(h < thresh, "val", "train"),
+        })
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "lang"])
+        .map_batches(assign, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["docs_split_assign"] = docs_split_assign
