@@ -1,4 +1,5 @@
-"""Shuffle sizing helpers.
+"""Shuffle sizing helpers + the scale-aware keyed-reduction primitives
+(grouped_sum / grouped_fold) the query library is built on.
 
 A bucketed co-group (hash(key) % B column) has AT MOST B distinct
 shuffle keys, so hash-shuffle partitions beyond B are pure overhead —
@@ -6,7 +7,18 @@ and measured on this host, 64 partitions over a 100k-row exchange cost
 2x the wall of 16 (aggregator/partition task fixed costs). Partitions
 therefore size to min(num_buckets, max(4, CPUs/2)): bounded by the key
 space, scaled with the session, and at the 100-TB end num_buckets
-itself is what must grow (raise B for more reduce parallelism)."""
+itself is what must grow (raise B for more reduce parallelism).
+
+grouped_sum / grouped_fold replace Ray's groupby().aggregate() wherever
+the key space SCALES WITH THE CORPUS (doc_id, user_id, orderkey,
+tokens, digests, edge pairs): the hash aggregate pays ms-scale
+per-group overhead (165k rows / 5k groups measured at 38 s vs 0.4 s as
+a fold), and in a flagship-tuned session every extra hash exchange
+costs ~3 s of fixed wall — so both primitives run map-side combine
+distributed, then fold driver-locally under a partials threshold and
+through ONE bucketed exchange above it (pathlog'd, forced-path
+tested). Bounded-dimension groupbys (languages, flags, regions, hours)
+stay on the native aggregate."""
 
 from __future__ import annotations
 
