@@ -124,7 +124,10 @@ def run_bench() -> dict:
         "events_top3_per_user", "events_funnel", "dup_span_docs",
         "ngram_contamination_docs", "pack_sequences",
         "events_user_type_pivot", "events_lag_delta",
-        "orders_left_lineitem",
+        "orders_left_lineitem", "events_value_histogram",
+        "doc_length_outliers", "docs_temperature_sample",
+        "docs_split_assign", "events_profile", "events_running_total",
+        "parts_multi_supplier", "events_value_quantiles",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":
