@@ -908,6 +908,45 @@ def oracle_sql() -> dict[str, str]:
                              % 4294967296 < 429496729
                         THEN 'val' ELSE 'train' END AS split
             FROM documents ORDER BY doc_id""",
+        "events_hopping_counts": """
+            WITH e AS (
+                SELECT date_trunc('hour', ts) AS w, event_type, value
+                FROM events
+                UNION ALL
+                SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                       event_type, value
+                FROM events)
+            SELECT w AS window_start, event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+        "events_mode_type_per_user": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT user_id, event_type AS mode_type, n
+            FROM c
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY n DESC, event_type) = 1
+            ORDER BY user_id""",
+        "orders_cube": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+                   COALESCE(o_orderstatus, 'ALL') AS st,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_cents
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+            ORDER BY 1, 2""",
+        "events_click_purchase_full": """
+            WITH c AS (SELECT user_id, COUNT(*) AS n_clicks
+                       FROM events WHERE event_type = 'click' GROUP BY 1),
+            p AS (SELECT user_id, COUNT(*) AS n_purchases
+                  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+            SELECT user_id,
+                   COALESCE(n_clicks, 0) AS n_clicks,
+                   COALESCE(n_purchases, 0) AS n_purchases
+            FROM c FULL OUTER JOIN p USING (user_id)
+            ORDER BY user_id""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # kg_triples, kg_mentions_all, kg_dep_morphs, kg_top_entities,
         # kg_pagerank, ncrf_label_turns, ncrf_train_eval,

@@ -9,9 +9,11 @@ joins — its joins are positional zips — so these are engine-native).
                    map_groups — an explicit partitioned hash join that
                    works on any Ray version; Dataset.join (Ray >= 2.46
                    hash-shuffle join) is used elsewhere when available.
-                   how: inner / left / semi / anti — the existence
-                   joins (semi/anti) consult only the right side's key
-                   columns, so right duplicates never multiply rows.
+                   how: inner / left / full / semi / anti — the
+                   existence joins (semi/anti) consult only the right
+                   side's key columns, so right duplicates never
+                   multiply rows; full keeps unmatched rows of BOTH
+                   sides (right-only buckets emit left columns null).
                    Skewed hot keys: raise B or pre-salt the key.
 """
 
@@ -147,7 +149,14 @@ def bucket_join(left, right, on: list[str] | str,
         frames = {"l": [], "r": []}
         for side, blob in zip(g["__side"], g["__blob"]):
             frames[side].append(pickle.loads(blob))
-        if not frames["l"] or (how == "inner" and not frames["r"]):
+        if not frames["l"]:
+            if how == "full" and frames["r"]:
+                # right-only bucket: full outer keeps these rows with
+                # the left-only columns null
+                rg = pd.concat(frames["r"], ignore_index=True)
+                return rg.reindex(columns=out_cols)
+            return pd.DataFrame(columns=out_cols)
+        if how == "inner" and not frames["r"]:
             return pd.DataFrame(columns=out_cols)
         lg = pd.concat(frames["l"], ignore_index=True)
         if how in ("semi", "anti"):
@@ -164,7 +173,8 @@ def bucket_join(left, right, on: list[str] | str,
             return m[keep][l_cols]
         rg = (pd.concat(frames["r"], ignore_index=True)
               if frames["r"] else pd.DataFrame(columns=r_cols))
-        return lg.merge(rg, on=on_cols, how=how)
+        return lg.merge(rg, on=on_cols,
+                        how="outer" if how == "full" else how)
 
     from .shuffle import bucket_partitions
 

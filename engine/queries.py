@@ -2835,3 +2835,169 @@ def docs_split_assign(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["docs_split_assign"] = docs_split_assign
+
+
+def events_hopping_counts(sf_dir: str) -> pd.DataFrame:
+    """Hopping (sliding) time windows — size 2h, hop 1h: every event
+    belongs to exactly TWO windows, so the map side EXPANDS each batch
+    (flat-map shape: one row per (event, covering window)) and
+    pre-aggregates before the single grouped_sum exchange. The reduce
+    is bounded by hours x event types, not rows — the streaming-window
+    analog a tumbling-only engine can't express. Exact integer cents."""
+    from .shuffle import grouped_sum
+
+    ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame({
+            "w": df["ts"].dt.floor("h"),
+            "event_type": df["event_type"],
+            "n": np.int64(1),
+            "sum_cents": np.round(df["value"].to_numpy() * 100)
+                           .astype("int64"),
+        })
+        prev = base.copy()
+        prev["w"] = prev["w"] - pd.Timedelta(hours=1)
+        return (pd.concat([base, prev], ignore_index=True)
+                .groupby(["w", "event_type"], as_index=False)
+                .agg(n=("n", "sum"), sum_cents=("sum_cents", "sum")))
+
+    out = (
+        grouped_sum(ds.map_batches(combine, batch_format="pandas"),
+                    ["w", "event_type"], ["n", "sum_cents"],
+                    rows_hint=_tbl_rows(sf_dir, "events"))
+        .to_pandas()
+        .rename(columns={"w": "window_start"})
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    # hour-floored stamps are exactly representable at any unit; match
+    # the parquet/DuckDB timestamp[us] dtype for the value-hash compare
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    return out[["window_start", "event_type", "n", "sum_cents"]]
+
+
+QUERIES["events_hopping_counts"] = events_hopping_counts
+
+
+def events_mode_type_per_user(sf_dir: str) -> pd.DataFrame:
+    """Grouped MODE with deterministic ties (highest count, then
+    lexicographically smallest type): per-batch (user, type) count
+    combiner, then ONE user-bucketed fold — a user's partials
+    co-locate, so the re-sum + argmax sees complete counts. The mode
+    is not distributive over value splits, which is exactly what the
+    key-bucketed grouped_fold contract provides."""
+    from .shuffle import grouped_fold
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_type"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        c = c.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True])
+        top = c.groupby("user_id", as_index=False).head(1)
+        return top.rename(columns={"event_type": "mode_type"})
+
+    out = (
+        grouped_fold(ds.map_batches(combine, batch_format="pandas"),
+                     "user_id", fold,
+                     rows_hint=_tbl_rows(sf_dir, "events"))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out[["user_id", "mode_type", "n"]]
+
+
+QUERIES["events_mode_type_per_user"] = events_mode_type_per_user
+
+
+def orders_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUPING SETS completion: CUBE(priority, status) — all four
+    levels (leaf, by-priority, by-status, grand total) re-summed
+    driver-side from the ~15-row distributed leaf aggregate, exact
+    integer cents throughout. Rolling up an aggregate never takes a
+    second pass over the data; the CUBE adds only the by-status slice
+    to the ROLLUP's levels."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "orders",
+             ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "pri": df["o_orderpriority"],
+            "st": df["o_orderstatus"],
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100)
+                       .astype("int64"),
+        })
+
+    leaf = (
+        ds.map_batches(cents, batch_format="pandas")
+        .groupby(["pri", "st"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="rev_cents"))
+        .to_pandas()
+    )
+    by_pri = leaf.groupby("pri", as_index=False)[["n", "rev_cents"]].sum()
+    by_pri["st"] = "ALL"
+    by_st = leaf.groupby("st", as_index=False)[["n", "rev_cents"]].sum()
+    by_st["pri"] = "ALL"
+    total = pd.DataFrame({"pri": ["ALL"], "st": ["ALL"],
+                          "n": [leaf["n"].sum()],
+                          "rev_cents": [leaf["rev_cents"].sum()]})
+    out = pd.concat([leaf, by_pri, by_st, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["rev_cents"] = out["rev_cents"].astype("int64")
+    return (out[["pri", "st", "n", "rev_cents"]]
+            .sort_values(["pri", "st"])
+            .reset_index(drop=True))
+
+
+QUERIES["orders_cube"] = orders_cube
+
+
+def events_click_purchase_full(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join family: per-user click counts vs purchase
+    counts — users with clicks but no purchases AND purchasers who
+    never clicked both survive, zero-filled. Each side is one scan +
+    grouped_sum; the join is the packed bucket join with how='full'
+    (right-only buckets emit left columns null). Both exclusive sides
+    are non-empty on real funnels, so this exercises all three match
+    classes."""
+    from .joins import bucket_join
+    from .shuffle import grouped_sum
+
+    rows = _tbl_rows(sf_dir, "events")
+
+    def side(event_type: str, alias: str):
+        ds = _rp(sf_dir, "events", ["user_id", "event_type"])
+
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            g = (df[df["event_type"] == event_type]
+                 .groupby("user_id", as_index=False).size())
+            return g.rename(columns={"size": alias})
+
+        return grouped_sum(ds.map_batches(combine, batch_format="pandas"),
+                           "user_id", alias, rows_hint=rows)
+
+    joined = bucket_join(side("click", "n_clicks"),
+                         side("purchase", "n_purchases"),
+                         on="user_id", how="full", rows_hint=rows)
+    out = joined.to_pandas()
+    for c in ("n_clicks", "n_purchases"):
+        out[c] = out[c].fillna(0).astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return (out[["user_id", "n_clicks", "n_purchases"]]
+            .sort_values("user_id")
+            .reset_index(drop=True))
+
+
+QUERIES["events_click_purchase_full"] = events_click_purchase_full

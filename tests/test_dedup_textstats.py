@@ -259,3 +259,28 @@ def test_grouped_topk_matches_bruteforce(ray_session):
         exp[["user_id", "rank", "event_id", "value"]].astype({"rank": "int64"}),
         check_dtype=False,
     )
+
+
+def test_bucket_join_full_outer_matches_pandas(ray_session):
+    """how='full' keeps unmatched rows of BOTH sides: left-only rows
+    null-fill right columns, right-only buckets (no left rows at all)
+    still emit — the branch a left join never exercises."""
+    import ray.data as rd
+
+    from engine.joins import bucket_join
+
+    l = pd.DataFrame({"k": [1, 2, 3, 3], "x": [10, 20, 30, 31]})
+    r = pd.DataFrame({"k": [2, 3, 99, 100], "y": [200, 300, 990, 991]})
+    got = (
+        bucket_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                    num_buckets=7, how="full")
+        .to_pandas()
+        .sort_values(["k", "x", "y"])
+        .reset_index(drop=True)
+    )
+    want = (l.merge(r, on="k", how="outer")
+            .sort_values(["k", "x", "y"]).reset_index(drop=True))
+    for c in ("k", "x", "y"):
+        pd.testing.assert_series_equal(
+            got[c].astype("float64"), want[c].astype("float64"),
+            check_names=False)
