@@ -937,6 +937,33 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY CUBE (o_orderpriority, o_orderstatus)
             ORDER BY 1, 2""",
+        "docs_unigram_logprob": """
+            WITH tok AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_extract_all(text, '[A-Za-z]+')))
+                           AS t
+                FROM documents),
+            c AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS s FROM c)
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(-ln(n / (SELECT s FROM tot))), 6)
+                       AS logprob_score
+            FROM tok JOIN c USING (t)
+            GROUP BY doc_id ORDER BY doc_id""",
+        "term_cooccurrence": """
+            WITH tok AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_extract_all(text, '[A-Za-z]+')))
+                           AS t
+                FROM documents),
+            cnt AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY 1
+                    ORDER BY n DESC, t LIMIT 50),
+            inc AS (SELECT DISTINCT doc_id, t FROM tok
+                    WHERE t IN (SELECT t FROM cnt))
+            SELECT a.t AS term_a, b.t AS term_b, COUNT(*) AS n_docs
+            FROM inc a JOIN inc b
+                 ON a.doc_id = b.doc_id AND a.t < b.t
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "events_click_purchase_full": """
             WITH c AS (SELECT user_id, COUNT(*) AS n_clicks
                        FROM events WHERE event_type = 'click' GROUP BY 1),

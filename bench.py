@@ -128,6 +128,7 @@ def run_bench() -> dict:
         "doc_length_outliers", "docs_temperature_sample",
         "docs_split_assign", "events_profile", "events_running_total",
         "parts_multi_supplier", "events_value_quantiles",
+        "docs_unigram_logprob", "term_cooccurrence",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

@@ -3001,3 +3001,130 @@ def events_click_purchase_full(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["events_click_purchase_full"] = events_click_purchase_full
+
+
+def _ascii_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Corpus unigram counts over ASCII letter-run tokens (lowered
+    AFTER extraction, so unicode lower() divergence between pandas and
+    DuckDB can't leak in): per-batch value_counts combiner, grouped_sum
+    over the token key (vocab-scaled, not corpus-scaled). Shared by the
+    unigram-LM scorer and the co-occurrence graph builder."""
+    from .shuffle import grouped_sum
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df["text"].str.findall(r"[A-Za-z]+").explode()
+                .dropna().str.lower())
+        c = toks.value_counts()
+        return pd.DataFrame({"t": c.index.to_numpy(dtype=object),
+                             "n": c.to_numpy(np.int64)})
+
+    out = grouped_sum(ds.map_batches(combine, batch_format="pandas"),
+                      "t", "n",
+                      rows_hint=_tbl_rows(sf_dir, "documents")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def docs_unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style unigram-LM quality score: corpus token
+    probabilities broadcast once (vocab-sized — the documented bound;
+    at 100 TB the vocab table ships via ray.put, never per batch),
+    then per-doc mean negative log-probability in a second scan with
+    NO exchange — each doc is one row, so the mean completes inside
+    its batch. The division and log are performed identically to the
+    SQL mirror (-ln(n / total)) so per-token terms are bit-equal."""
+    import ray
+
+    counts = _ascii_token_counts(sf_dir)
+    total = float(counts["n"].sum())
+    neglogp = pd.Series(
+        -np.log(counts["n"].to_numpy(np.float64) / total),
+        index=counts["t"].to_numpy(dtype=object))
+    ref = ray.put(neglogp)
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(df: pd.DataFrame, ref=ref) -> pd.DataFrame:
+        nlp = ray.get(ref)
+        toks = (df.set_index("doc_id")["text"]
+                .str.findall(r"[A-Za-z]+").explode().dropna().str.lower())
+        vals = toks.map(nlp)
+        g = vals.groupby(level=0)
+        out = pd.DataFrame({"n_tokens": g.size().astype("int64"),
+                            "logprob_score": g.mean().round(6)})
+        return out.reset_index().rename(columns={"index": "doc_id"})
+
+    out = (ds.map_batches(score, batch_format="pandas")
+           .to_pandas()
+           .sort_values("doc_id")
+           .reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "n_tokens", "logprob_score"]]
+
+
+QUERIES["docs_unigram_logprob"] = docs_unigram_logprob
+
+
+def term_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Term co-occurrence graph over documents (the KG-construction
+    primitive on an ORACLED table): top-50 corpus terms (count desc,
+    term asc — deterministic), each doc's presence vector over that
+    fixed vocabulary, and pair weights n_docs(a,b) from one matmul per
+    batch (M'M on the bool incidence matrix — no token-pair explosion,
+    the 100-TB-safe shape). Partials are <= 1225 rows per batch; the
+    final fold is grouped_sum."""
+    import ray
+
+    from .shuffle import grouped_sum
+
+    counts = _ascii_token_counts(sf_dir)
+    top = (counts.sort_values(["n", "t"], ascending=[False, True])
+           .head(50)["t"].to_numpy(dtype=object))
+    idx = pd.Series(np.arange(len(top)), index=top)
+    ref = ray.put((top, idx))
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def pairs(df: pd.DataFrame, ref=ref) -> pd.DataFrame:
+        top, idx = ray.get(ref)
+        toks = (df.set_index("doc_id")["text"]
+                .str.findall(r"[A-Za-z]+").explode().dropna().str.lower())
+        toks = toks[toks.isin(idx.index)]
+        inc = toks.reset_index().drop_duplicates()
+        inc.columns = ["doc_id", "t"]
+        if inc.empty:
+            return pd.DataFrame({"term_a": pd.Series([], dtype="object"),
+                                 "term_b": pd.Series([], dtype="object"),
+                                 "n_docs": pd.Series([], dtype="int64")})
+        d_codes = pd.factorize(inc["doc_id"])[0]
+        t_codes = idx[inc["t"]].to_numpy()
+        m = np.zeros((d_codes.max() + 1, len(top)), dtype=np.int64)
+        m[d_codes, t_codes] = 1
+        co = m.T @ m
+        a, b = np.triu_indices(len(top), k=1)
+        n = co[a, b]
+        keep = n > 0
+        ta, tb = top[a[keep]], top[b[keep]]
+        # triu order is by top-list INDEX (count-desc); canonicalize
+        # each pair lexicographically to match the a.t < b.t oracle
+        swap = ta > tb
+        ta2 = np.where(swap, tb, ta)
+        tb2 = np.where(swap, ta, tb)
+        return pd.DataFrame({"term_a": ta2, "term_b": tb2,
+                             "n_docs": n[keep]})
+
+    out = (
+        grouped_sum(ds.map_batches(pairs, batch_format="pandas"),
+                    ["term_a", "term_b"], "n_docs",
+                    rows_hint=_tbl_rows(sf_dir, "documents"))
+        .to_pandas()
+        .sort_values(["term_a", "term_b"])
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out[["term_a", "term_b", "n_docs"]]
+
+
+QUERIES["term_cooccurrence"] = term_cooccurrence
