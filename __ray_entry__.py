@@ -974,6 +974,83 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(n_purchases, 0) AS n_purchases
             FROM c FULL OUTER JOIN p USING (user_id)
             ORDER BY user_id""",
+        "docs_normalized_dedup": """
+            WITH k AS (
+                SELECT doc_id,
+                       lower(array_to_string(
+                           regexp_extract_all(text, '[A-Za-z0-9]+'), ' '))
+                           AS key
+                FROM documents)
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+            FROM k GROUP BY key ORDER BY doc_id""",
+        "events_first_last": """
+            WITH o AS (
+                SELECT user_id, event_type, epoch_ms(ts) AS ms,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rf,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rl
+                FROM events)
+            SELECT user_id,
+                   MAX(CASE WHEN rf = 1 THEN event_type END) AS first_type,
+                   MAX(CASE WHEN rl = 1 THEN event_type END) AS last_type,
+                   MAX(ms) - MIN(ms) AS span_ms
+            FROM o GROUP BY user_id ORDER BY user_id""",
+        "lineitem_corr_stats": """
+            SELECT l_returnflag, COUNT(*) AS n_rows,
+                   ROUND(stddev_samp(l_quantity), 6) AS stddev_qty,
+                   ROUND(covar_samp(l_quantity, l_extendedprice), 4)
+                       AS covar_qty_price,
+                   ROUND(corr(l_quantity, l_extendedprice), 6)
+                       AS corr_qty_price
+            FROM lineitem GROUP BY 1 ORDER BY 1""",
+        "bigram_collocations": """
+            WITH t AS (
+                SELECT list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                                      x -> lower(x)) AS ts
+                FROM documents),
+            big AS (
+                SELECT unnest(list_transform(
+                           ts[2:], (x, i) -> ts[i] || ' ' || x)) AS bigram
+                FROM t),
+            bc AS (SELECT bigram, split_part(bigram, ' ', 1) AS a,
+                          split_part(bigram, ' ', 2) AS b, COUNT(*) AS n
+                   FROM big GROUP BY 1, 2, 3),
+            tb AS (SELECT CAST(SUM(n) AS DOUBLE) AS s FROM bc),
+            uc AS (SELECT t, COUNT(*) AS n FROM (
+                       SELECT lower(unnest(
+                           regexp_extract_all(text, '[A-Za-z]+'))) AS t
+                       FROM documents) GROUP BY 1),
+            tu AS (SELECT CAST(SUM(n) AS DOUBLE) AS s FROM uc)
+            SELECT bigram, bc.n AS n,
+                   ROUND(ln((bc.n / (SELECT s FROM tb))
+                            / ((ua.n / (SELECT s FROM tu))
+                               * (ub.n / (SELECT s FROM tu)))), 6) AS pmi
+            FROM bc JOIN uc ua ON bc.a = ua.t JOIN uc ub ON bc.b = ub.t
+            ORDER BY n DESC, bigram LIMIT 100""",
+        "inverted_index_terms": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id,
+                       lower(unnest(regexp_extract_all(text, '[A-Za-z]+')))
+                           AS term
+                FROM documents),
+            top AS (SELECT term, COUNT(*) AS df FROM tok
+                    GROUP BY 1 ORDER BY df DESC, term LIMIT 100),
+            lim AS (SELECT term, doc_id,
+                           row_number() OVER (PARTITION BY term
+                                              ORDER BY doc_id) AS r
+                    FROM tok WHERE term IN (SELECT term FROM top))
+            SELECT top.term AS term, top.df AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS posting
+            FROM top JOIN lim ON top.term = lim.term
+            WHERE r <= 50
+            GROUP BY 1, 2 ORDER BY df DESC, term""",
+        "docs_ntile_chars": """
+            SELECT doc_id, n_chars,
+                   NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+            FROM documents ORDER BY doc_id""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # kg_triples, kg_mentions_all, kg_dep_morphs, kg_top_entities,
         # kg_pagerank, ncrf_label_turns, ncrf_train_eval,

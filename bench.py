@@ -129,6 +129,9 @@ def run_bench() -> dict:
         "docs_split_assign", "events_profile", "events_running_total",
         "parts_multi_supplier", "events_value_quantiles",
         "docs_unigram_logprob", "term_cooccurrence",
+        "docs_normalized_dedup", "events_first_last",
+        "lineitem_corr_stats", "bigram_collocations",
+        "inverted_index_terms", "docs_ntile_chars", "events_user_hll",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

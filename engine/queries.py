@@ -3128,3 +3128,356 @@ def term_cooccurrence(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["term_cooccurrence"] = term_cooccurrence
+
+
+def docs_normalized_dedup(sf_dir: str) -> pd.DataFrame:
+    """Normalization-invariant exact dedup (the 'fuzzy exact' pass real
+    LLM corpora run before MinHash: case / punctuation / whitespace
+    collapsed): the dedup key is alnum runs lowered and space-joined,
+    computed vectorized per batch; keeper = MIN(doc_id) per key with a
+    per-batch (key -> min, count) combiner so the exchange carries one
+    row per distinct key per batch, never raw docs. Key space is
+    corpus-scaled -> grouped_fold (complete key groups per bucket)."""
+    from .shuffle import grouped_fold
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        key = (df["text"].str.findall(r"[A-Za-z0-9]+")
+               .str.join(" ").str.lower())
+        g = (pd.DataFrame({"key": key, "doc_id": df["doc_id"]})
+             .groupby("key", as_index=False)
+             .agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "size")))
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("key", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("n_dups", "sum"))
+
+    out = (
+        grouped_fold(ds.map_batches(combine, batch_format="pandas"),
+                     "key", fold,
+                     rows_hint=_tbl_rows(sf_dir, "documents"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_dups"] = out["n_dups"].astype("int64")
+    return out[["doc_id", "n_dups"]]
+
+
+QUERIES["docs_normalized_dedup"] = docs_normalized_dedup
+
+
+def events_first_last(sf_dir: str) -> pd.DataFrame:
+    """Per-user FIRST/LAST event (arg-min / arg-max over (ts,
+    event_id) — the deterministic tiebreak) plus the ms span between
+    them. Per-batch combiner keeps 1 row per user per batch via
+    vectorized idxmin/idxmax on a composite sort; the fold re-applies
+    the same reduction on complete per-user partials (grouped_fold
+    key-bucket contract). Timestamps compare as epoch milliseconds so
+    the span is integer-exact on both sides of the oracle."""
+    from .shuffle import grouped_fold
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def reduce_frame(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts_ms", "event_id"])
+        first = d.groupby("user_id", as_index=False).head(1)
+        last = d.groupby("user_id", as_index=False).tail(1)
+        return pd.DataFrame({
+            "user_id": first["user_id"].to_numpy(),
+            "first_type": first["event_type"].to_numpy(),
+            "first_ms": first["ts_ms"].to_numpy(),
+            "last_type": last["event_type"].to_numpy(),
+            "last_ms": last["ts_ms"].to_numpy(),
+            # carried so the fold can rebuild full rows for head/tail
+            "first_event_id": first["event_id"].to_numpy(),
+            "last_event_id": last["event_id"].to_numpy(),
+        })
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # unit-independent ms floor (parquet loads as datetime64[ms]
+        # here; [ns]/[us] elsewhere would silently change the scale)
+        df = df.assign(ts_ms=df["ts"].astype("datetime64[ms]")
+                       .astype("int64"))
+        return reduce_frame(df)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        lo = g[["user_id", "first_ms", "first_event_id", "first_type"]]
+        lo = lo.rename(columns={"first_ms": "ts_ms",
+                                "first_event_id": "event_id",
+                                "first_type": "event_type"})
+        hi = g[["user_id", "last_ms", "last_event_id", "last_type"]]
+        hi = hi.rename(columns={"last_ms": "ts_ms",
+                                "last_event_id": "event_id",
+                                "last_type": "event_type"})
+        return reduce_frame(pd.concat([lo, hi], ignore_index=True))
+
+    out = (
+        grouped_fold(ds.map_batches(combine, batch_format="pandas"),
+                     "user_id", fold,
+                     rows_hint=_tbl_rows(sf_dir, "events"))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["span_ms"] = (out["last_ms"] - out["first_ms"]).astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out[["user_id", "first_type", "last_type", "span_ms"]]
+
+
+QUERIES["events_first_last"] = events_first_last
+
+
+def lineitem_corr_stats(sf_dir: str) -> pd.DataFrame:
+    """Streaming second-moment statistics per return flag:
+    stddev_samp(quantity), covar_samp and corr(quantity,
+    extendedprice) from per-batch centered co-moment sums (n, Sx, Sy,
+    Sxx, Syy, Sxy about fixed shifts — algebraically exact, and the
+    shift keeps the cancellation error ~1e-12 relative so ROUND(…,6)
+    matches DuckDB's streaming kernels). Group count is bounded (3
+    flags) so the final fold is a trivial driver reduce; shuffle
+    volume is 6 doubles per flag per batch."""
+    ds = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_quantity", "l_extendedprice"])
+    SX, SY = 25.0, 35000.0  # near the column means; exactness unaffected
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy(np.float64) - SX
+        y = df["l_extendedprice"].to_numpy(np.float64) - SY
+        g = pd.DataFrame({"f": df["l_returnflag"], "x": x, "y": y,
+                          "xx": x * x, "yy": y * y, "xy": x * y})
+        out = g.groupby("f", as_index=False).sum()
+        out["n"] = g.groupby("f", as_index=False).size()["size"]
+        return out
+
+    parts = ds.map_batches(combine, batch_format="pandas").to_pandas()
+    t = parts.groupby("f", as_index=False).sum().sort_values("f")
+    n = t["n"].to_numpy(np.float64)
+    vx = (t["xx"] - t["x"] ** 2 / n) / (n - 1)
+    vy = (t["yy"] - t["y"] ** 2 / n) / (n - 1)
+    cov = (t["xy"] - t["x"] * t["y"] / n) / (n - 1)
+    out = pd.DataFrame({
+        "l_returnflag": t["f"].to_numpy(),
+        "n_rows": t["n"].to_numpy(np.int64),
+        "stddev_qty": np.sqrt(vx).round(6),
+        "covar_qty_price": cov.round(4),
+        "corr_qty_price": (cov / np.sqrt(vx * vy)).round(6),
+    })
+    return out.reset_index(drop=True)
+
+
+QUERIES["lineitem_corr_stats"] = lineitem_corr_stats
+
+
+def bigram_collocations(sf_dir: str) -> pd.DataFrame:
+    """Collocation mining: top-100 corpus bigrams by count with PMI
+    against the unigram LM. Bigrams are built vectorized (explode
+    tokens, adjacency mask on the doc index — no Python loop over
+    rows), counted with a per-batch value_counts combiner and folded
+    through grouped_sum (bigram key space is corpus-scaled). PMI is
+    computed on the driver over the folded vocab-sized table with the
+    exact operation order of the SQL mirror, so ROUND(…,6) matches."""
+    from .shuffle import grouped_sum
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (df.reset_index(drop=True)["text"]
+              .str.findall(r"[A-Za-z]+").explode().dropna().str.lower())
+        if ex.empty:
+            return pd.DataFrame({"bigram": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        idx = ex.index.to_numpy()
+        tok = ex.to_numpy(dtype=object)
+        adj = idx[:-1] == idx[1:]
+        big = tok[:-1][adj] + " " + tok[1:][adj]
+        c = pd.Series(big).value_counts()
+        return pd.DataFrame({"bigram": c.index.to_numpy(dtype=object),
+                             "n": c.to_numpy(np.int64)})
+
+    bc = grouped_sum(ds.map_batches(combine, batch_format="pandas"),
+                     "bigram", "n",
+                     rows_hint=_tbl_rows(sf_dir, "documents")).to_pandas()
+    total_b = float(bc["n"].sum())
+    uc = _ascii_token_counts(sf_dir)
+    total_u = float(uc["n"].sum())
+    p_tok = pd.Series(uc["n"].to_numpy(np.float64) / total_u,
+                      index=uc["t"].to_numpy(dtype=object))
+    top = (bc.sort_values(["n", "bigram"], ascending=[False, True])
+           .head(100).reset_index(drop=True))
+    parts = top["bigram"].str.split(" ", n=1, expand=True)
+    pa_ = p_tok[parts[0]].to_numpy(np.float64)
+    pb_ = p_tok[parts[1]].to_numpy(np.float64)
+    pmi = np.log((top["n"].to_numpy(np.float64) / total_b) / (pa_ * pb_))
+    top["pmi"] = np.round(pmi, 6)
+    top["n"] = top["n"].astype("int64")
+    return top[["bigram", "n", "pmi"]]
+
+
+QUERIES["bigram_collocations"] = bigram_collocations
+
+
+def inverted_index_terms(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index construction for the top-100 document-frequency
+    terms: per-batch DISTINCT (term, doc_id) incidence (each doc lives
+    in exactly one batch, so batch-distinct IS globally distinct),
+    grouped_fold over the term key builds df + the first-50 posting
+    preview (doc ids ascending, comma-joined) from complete groups,
+    and the driver keeps the top-100 from the vocab-sized fold."""
+    from .shuffle import grouped_fold
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def incidence(df: pd.DataFrame) -> pd.DataFrame:
+        ex = (df.set_index("doc_id")["text"]
+              .str.findall(r"[A-Za-z]+").explode().dropna().str.lower())
+        inc = ex.reset_index().drop_duplicates()
+        inc.columns = ["doc_id", "term"]
+        return inc[["term", "doc_id"]]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", "doc_id"])
+        gb = g.groupby("term")
+        post = gb["doc_id"].apply(
+            lambda s: ",".join(str(d) for d in s.head(50)))
+        return pd.DataFrame({"term": post.index.to_numpy(dtype=object),
+                             "df": gb.size().to_numpy(np.int64),
+                             "posting": post.to_numpy(dtype=object)})
+
+    out = (
+        grouped_fold(ds.map_batches(incidence, batch_format="pandas"),
+                     "term", fold,
+                     rows_hint=_tbl_rows(sf_dir, "documents"))
+        .to_pandas()
+        .sort_values(["df", "term"], ascending=[False, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
+    out["df"] = out["df"].astype("int64")
+    return out[["term", "df", "posting"]]
+
+
+QUERIES["inverted_index_terms"] = inverted_index_terms
+
+
+def docs_ntile_chars(sf_dir: str) -> pd.DataFrame:
+    """Global NTILE(10) OVER (ORDER BY n_chars, doc_id) without a
+    global sort: pass 1 is a grouped_sum histogram over n_chars
+    (value space bounded by max doc length, not corpus size) whose
+    cumulative offsets broadcast to pass 2; pass 2 buckets by n_chars
+    (grouped_fold: a value's docs co-locate), sorts doc_ids within the
+    value group, and adds the broadcast offset for the exact 0-based
+    global rank -> SQL NTILE tile arithmetic (first N%k tiles get the
+    extra row). Shuffle carries 2 ints per doc; no stage sees more
+    than one n_chars group."""
+    from .shuffle import grouped_fold, grouped_sum
+
+    rows_hint = _tbl_rows(sf_dir, "documents")
+    ds = _rp(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def count_batch(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_chars", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    hist = grouped_sum(ds.map_batches(count_batch, batch_format="pandas"),
+                       "n_chars", "n", rows_hint=rows_hint).to_pandas()
+    hist = hist.sort_values("n_chars").reset_index(drop=True)
+    n_total = int(hist["n"].sum())
+    offsets = dict(zip(hist["n_chars"].astype("int64"),
+                       np.concatenate([[0], hist["n"].cumsum()[:-1]])
+                       .astype("int64")))
+    k = 10
+    q, big = divmod(n_total, k)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        within = g.groupby("n_chars").cumcount().to_numpy(np.int64)
+        start = g["n_chars"].map(offsets).to_numpy(np.int64)
+        r = start + within
+        cut = big * (q + 1)
+        tile = np.where(r < cut, r // (q + 1) + 1,
+                        big + (r - cut) // max(q, 1) + 1)
+        return pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                             "n_chars": g["n_chars"].astype("int64"),
+                             "decile": tile.astype("int64")})
+
+    out = (
+        grouped_fold(ds, "n_chars", fold, rows_hint=rows_hint)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out[["doc_id", "n_chars", "decile"]]
+
+
+QUERIES["docs_ntile_chars"] = docs_ntile_chars
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a public-domain avalanche mix
+    (Steele et al.), used where a well-dispersed deterministic 64-bit
+    hash is needed without a Python loop."""
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def events_user_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate COUNT DISTINCT users per event type via
+    HyperLogLog (p=14, 16384 registers, ~0.8% standard error) — the
+    sketch a 100-TB pipeline uses where the exact per-bucket set fold
+    (distinct_users_per_type) would shuffle every distinct key. Per
+    batch: splitmix64 the user ids, max-fold register values per
+    event type (vectorized np.maximum.at); partials are one
+    16384-byte register row per (type, batch) — constant per batch —
+    merged by np.maximum on the driver. Rows-only (no bit-exact SQL
+    mirror); accuracy vs the exact count is pinned by a unit test."""
+    P = 14
+    M = 1 << P
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_type"])
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_r = [], []
+        h = _splitmix64(df["user_id"].to_numpy(np.int64).view(np.uint64))
+        reg_idx = (h >> np.uint64(64 - P)).astype(np.int64)
+        low = h & np.uint64((1 << (64 - P)) - 1)
+        # exact bit_length via 6-step binary search (float log2 is not
+        # trustworthy at the 2^k boundaries of a 50-bit value)
+        bl = np.zeros(len(low), dtype=np.int64)
+        v = low.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            m = v >= (np.uint64(1) << np.uint64(s))
+            bl[m] += s
+            v[m] >>= np.uint64(s)
+        bl[low > 0] += 1
+        rho = ((64 - P) - bl + 1).astype(np.uint8)
+        for t, sub in pd.DataFrame(
+                {"t": df["event_type"], "i": reg_idx, "r": rho}
+        ).groupby("t"):
+            regs = np.zeros(M, dtype=np.uint8)
+            np.maximum.at(regs, sub["i"].to_numpy(), sub["r"].to_numpy())
+            out_t.append(t)
+            out_r.append(regs.tobytes())
+        return pd.DataFrame({"event_type": out_t, "regs": out_r})
+
+    parts = ds.map_batches(sketch, batch_format="pandas").to_pandas()
+    rows = []
+    alpha = 0.7213 / (1 + 1.079 / M)
+    for t, sub in parts.groupby("event_type"):
+        regs = np.maximum.reduce(
+            [np.frombuffer(b, dtype=np.uint8) for b in sub["regs"]])
+        est = alpha * M * M / np.sum(np.power(2.0, -regs.astype(np.float64)))
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * M and zeros:
+            est = M * np.log(M / zeros)  # linear-counting small range
+        rows.append({"event_type": t, "est_users": int(round(est))})
+    return (pd.DataFrame(rows).sort_values("event_type")
+            .reset_index(drop=True))
+
+
+QUERIES["events_user_hll"] = events_user_hll

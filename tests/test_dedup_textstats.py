@@ -284,3 +284,46 @@ def test_bucket_join_full_outer_matches_pandas(ray_session):
         pd.testing.assert_series_equal(
             got[c].astype("float64"), want[c].astype("float64"),
             check_names=False)
+
+
+def test_hll_sketch_accuracy_raw_branch(ray_session, tmp_path):
+    """events_user_hll on a synthetic table with 500k distinct users —
+    far past the linear-counting range of a p=14 sketch — must land
+    within 2.5% of the true cardinality (3 sigma of the 0.81% HLL
+    standard error); the small oracle corpora only exercise the
+    linear-counting branch."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.queries import events_user_hll
+
+    n = 500_000
+    uid = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "event_id": pa.array(uid),
+        "ts": pa.array(np.full(n, 1_600_000_000_000), type=pa.timestamp("ms")),
+        "user_id": pa.array(uid),
+        "event_type": pa.array(np.where(uid % 2 == 0, "click", "view")),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array([""] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = events_user_hll(str(tmp_path))
+    want = {"click": n // 2, "view": n // 2}
+    for _, row in got.iterrows():
+        rel = abs(row.est_users - want[row.event_type]) / want[row.event_type]
+        assert rel < 0.025, (row.event_type, row.est_users, rel)
+
+
+def test_splitmix64_dispersion():
+    """Register-index dispersion of the vectorized splitmix64 over
+    sequential ids: all 16384 registers hit for 1M keys (a biased
+    hash would leave zero registers and skew the HLL estimate)."""
+    import numpy as np
+
+    from engine.queries import _splitmix64
+
+    h = _splitmix64(np.arange(1_000_000, dtype=np.int64).view(np.uint64))
+    idx = (h >> np.uint64(50)).astype(np.int64)
+    assert len(np.unique(idx)) == 1 << 14
