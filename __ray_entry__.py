@@ -1051,6 +1051,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars,
                    NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
             FROM documents ORDER BY doc_id""",
+        "events_global_sort": """
+            SELECT event_id, ROUND(value, 6) AS value
+            FROM events ORDER BY value, event_id""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # kg_triples, kg_mentions_all, kg_dep_morphs, kg_top_entities,
         # kg_pagerank, ncrf_label_turns, ncrf_train_eval,

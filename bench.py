@@ -132,6 +132,7 @@ def run_bench() -> dict:
         "docs_normalized_dedup", "events_first_last",
         "lineitem_corr_stats", "bigram_collocations",
         "inverted_index_terms", "docs_ntile_chars", "events_user_hll",
+        "events_global_sort",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

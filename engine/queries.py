@@ -3481,3 +3481,23 @@ def events_user_hll(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["events_user_hll"] = events_user_hll
+
+
+def events_global_sort(sf_dir: str) -> pd.DataFrame:
+    """Total order over a corpus-scaled table via the sample-sort
+    primitive (engine/sortop.py): range cuts from a bounded sample,
+    one range exchange, full (value, event_id) sort inside each range
+    task, driver merge by range id only. The ORDER of the returned
+    rows is the checked output — the driver hashes rows in returned
+    order, so this oracles the distributed sort itself."""
+    from .sortop import range_sort
+
+    ds = _rp(sf_dir, "events", ["event_id", "value"])
+    out = range_sort(ds, ["value", "event_id"],
+                     rows_hint=_tbl_rows(sf_dir, "events"))
+    out["event_id"] = out["event_id"].astype("int64")
+    out["value"] = out["value"].round(6)
+    return out[["event_id", "value"]].reset_index(drop=True)
+
+
+QUERIES["events_global_sort"] = events_global_sort

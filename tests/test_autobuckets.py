@@ -317,3 +317,25 @@ def test_existence_join_paths_agree(ray_session, monkeypatch):
                 else l[~l["k"].isin(keys)])
         want = want.sort_values(["k", "a"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(bcast, want)
+
+
+def test_range_sort_skew_and_duplicates(ray_session):
+    """range_sort totals-orders a skewed input where one value holds
+    40% of rows (straddles any equal-frequency cut) and the rest are
+    duplicated — equal primary keys must land in ONE range bucket and
+    the multi-key order must match pandas exactly, at a forced bucket
+    count far above the default."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.sortop import range_sort
+
+    rng = np.random.RandomState(7)
+    n = 20_000
+    v = np.where(rng.rand(n) < 0.4, 42.0, rng.randint(0, 50, n) * 1.5)
+    df = pd.DataFrame({"k": v, "i": np.arange(n)[::-1]})
+    got = range_sort(rd.from_pandas(df, override_num_blocks=16),
+                     ["k", "i"], num_buckets=64)
+    want = df.sort_values(["k", "i"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "i"]], want)
