@@ -38,6 +38,8 @@ atom), proven by the same equality test.
 
 from __future__ import annotations
 
+from itertools import chain
+
 import numpy as np
 import pyarrow as pa
 
@@ -123,6 +125,12 @@ class _Registry:
         # yap_morphs (unpruned MD)
         self._cols: list[list] = [[] for _ in range(11)]
         self._arrays: list[np.ndarray] | None = None
+        # two-word gazetteer probe memo per view, keyed by the packed
+        # (code, code) pair int — codes are stable until the 2M-vocab
+        # backstop reinit, which rebuilds these with everything else
+        self.pair_core: dict[int, str | None] = {}
+        self.pair_form: dict[int, str | None] = {}
+        self._mcnt: np.ndarray | None = None
 
     def _register(self, s: str) -> int:
         core = token_core(s)
@@ -164,6 +172,14 @@ class _Registry:
             ]
         return self._arrays
 
+    def morph_counts(self) -> np.ndarray:
+        """per-code pruned-MD morpheme count (len of column 9), for the
+        vectorized slow-row form-stream build."""
+        if self._mcnt is None or len(self._mcnt) != len(self._cols[9]):
+            self._mcnt = np.fromiter(
+                (len(m) for m in self._cols[9]), np.int64, len(self._cols[9]))
+        return self._mcnt
+
 
 def _greedy_spans(norm: np.ndarray, cat1: np.ndarray, bif: np.ndarray,
                   row_of: list[int], row_start: list[int],
@@ -192,6 +208,63 @@ def _greedy_spans(norm: np.ndarray, cat1: np.ndarray, bif: np.ndarray,
                 continue
         r = row_of[pos]
         s = pos - row_start[r]
+        out.setdefault(r, []).append((s, s + L, cat))
+        nf = pos + L
+    return out
+
+
+_MISS = object()
+_PAIRBASE = np.int64(2_097_152)  # > the registry's 2M-vocab backstop
+
+
+def _greedy_spans2(codes: np.ndarray, norm_by_code: np.ndarray,
+                   cat1: np.ndarray, bif: np.ndarray, row_of: np.ndarray,
+                   row_start: np.ndarray, row_end: np.ndarray,
+                   gaz2, pair_cache: dict):
+    """max_len==2 specialization of ``_greedy_spans``: the two-word
+    gazetteer probe (the bulk of the hit positions) is resolved for the
+    whole batch at once — one packed-code-pair key per position,
+    ``np.unique`` collapses them, and the tuple build + dict probe runs
+    once per DISTINCT pair via a persistent memo. The greedy
+    left-to-right scan then touches precomputed values only."""
+    out: dict[int, list[tuple[int, int, str]]] = {}
+    hits = np.flatnonzero(bif | (cat1 != None))  # noqa: E711
+    if len(hits) == 0:
+        return out
+    rh = row_of[hits]
+    fit2 = bif[hits] & (hits + 2 <= row_end[rh])
+    cat2 = np.full(len(hits), None, dtype=object)
+    if fit2.any():
+        p2 = hits[fit2]
+        pk = codes[p2] * _PAIRBASE + codes[p2 + 1]
+        uk, inv = np.unique(pk, return_inverse=True)
+        vals = []
+        for k in uk.tolist():
+            v = pair_cache.get(k, _MISS)
+            if v is _MISS:
+                c1, c2 = divmod(k, 2_097_152)
+                v = gaz2.get((norm_by_code[c1], norm_by_code[c2]))
+                pair_cache[k] = v
+            vals.append(v)
+        cat2[fit2] = np.array(vals, dtype=object)[inv]
+    hl = hits.tolist()
+    c2l = cat2.tolist()
+    c1l = cat1[hits].tolist()
+    rl = rh.tolist()
+    rsl = row_start
+    nf = -1
+    for i, pos in enumerate(hl):
+        if pos < nf:
+            continue
+        cat = c2l[i]
+        L = 2
+        if cat is None:
+            cat = c1l[i]
+            if cat is None:
+                continue
+            L = 1
+        r = rl[i]
+        s = pos - int(rsl[r])
         out.setdefault(r, []).append((s, s + L, cat))
         nf = pos + L
     return out
@@ -242,7 +315,7 @@ class BatchKgExtractor:
     def __init__(self) -> None:
         self.reg = _Registry()
 
-    def _rels_for(self, ments, lower, rel1, relf, base: int):
+    def _rels_for(self, ments, lower, rel1, relf, base: int, relpre):
         reg = self.reg
         out = []
         for i in range(len(ments) - 1):
@@ -251,7 +324,13 @@ class BatchKgExtractor:
             gap = st2 - end1
             if gap < 1 or gap > MAX_REL_GAP:
                 continue
-            pred = _find_rel(lower, rel1, relf, base + end1, base + st2,
+            g0 = base + end1
+            g1 = base + st2
+            # prefix-sum skip: no rel-phrase first word and no one-word
+            # relation anywhere in the gap -> _find_rel cannot match
+            if relpre[g1] == relpre[g0]:
+                continue
+            pred = _find_rel(lower, rel1, relf, g0, g1,
                              reg.relN, reg.rel_max)
             if pred is not None:
                 out.append((i, pred, i + 1))
@@ -261,69 +340,101 @@ class BatchKgExtractor:
         n_rows = len(texts)
         if n_rows == 0:
             return []
+        if n_rows > 64:
+            # per-batch text dedupe: ~a quarter of corpus turns are
+            # exact repeats and extraction is a pure function of the
+            # text, so run the chain once per DISTINCT text and fan the
+            # results back out (shared tuples; immutable downstream)
+            enc = pa.array(texts, pa.string()).dictionary_encode()
+            uniq = enc.dictionary.to_pylist()
+            if len(uniq) < n_rows:
+                res = self._extract_unique(uniq)
+                idx = enc.indices.to_numpy(zero_copy_only=False)
+                return [res[i] for i in idx.tolist()]
+        return self._extract_unique(texts)
+
+    def _extract_unique(self, texts: list[str]):
+        n_rows = len(texts)
         reg = self.reg
         flat, counts = _tokenize_batch(texts)
         codes = reg.encode(flat)
-        cols = reg.arrays()
-        morphs = cols[9]
 
-        row_start: list[int] = []
-        row_of: list[int] = []
-        s = 0
-        for r, c in enumerate(counts):
-            row_start.append(s)
-            row_of.extend([r] * c)
-            s += c
-        row_end = [a + c for a, c in zip(row_start, counts)]
-
-        spans_a = _greedy_spans(cols[0][codes], cols[1][codes],
-                                cols[2][codes], row_of, row_start, row_end,
-                                reg.gazN, reg.max_len)
-        lo = cols[6][codes]
-        rf = cols[7][codes]
-        r1 = cols[8][codes]
+        counts_a = np.asarray(counts, dtype=np.int64)
+        row_end_a = np.cumsum(counts_a)
+        row_start_a = row_end_a - counts_a
+        row_of_a = np.repeat(np.arange(n_rows, dtype=np.int64), counts_a)
 
         # slow (apostrophe-bearing) rows: expand every token's memoized
         # MD morphemes into ONE concatenated form stream, encode + span
-        # match it in a single vectorized pass (morph_hybrid track)
-        slow = ["'" in t for t in texts]
-        forms: list[str] = []
-        s_start: dict[int, int] = {}  # row -> start in the form stream
-        s_lm: dict[int, list[int]] = {}  # row -> per-token last-morph idx
-        s_row_of: list[int] = []
-        s_starts: list[int] = []
-        s_ends: list[int] = []
-        for r in range(n_rows):
-            if not slow[r]:
-                continue
-            s0 = len(forms)
-            lm: list[int] = []
-            for pos in range(row_start[r], row_end[r]):
-                forms.extend(morphs[codes[pos]])
-                lm.append(len(forms) - s0 - 1)
-            sr = len(s_starts)
-            s_start[r] = s0
-            s_lm[r] = lm
-            s_row_of.extend([sr] * (len(forms) - s0))
-            s_starts.append(s0)
-            s_ends.append(len(forms))
-        if forms:
+        # match it in a single vectorized pass (morph_hybrid track).
+        # Stream geometry (starts/ends/last-morph) is all cumsum math
+        # over the per-code morph counts — no per-row Python loop.
+        slow_a = np.fromiter(("'" in t for t in texts), bool, n_rows)
+        morphs9 = reg._cols[9]
+        n_slow = int(slow_a.sum())
+        if n_slow:
+            spos = np.flatnonzero(np.repeat(slow_a, counts_a))
+            scodes = codes[spos]
+            forms = list(chain.from_iterable(
+                map(morphs9.__getitem__, scodes.tolist())))
+            cnts = reg.morph_counts()[scodes]
+            srow_toks = counts_a[slow_a]
+            tok_off = np.concatenate(([0], np.cumsum(srow_toks)))
+            cum0 = np.concatenate(([0], np.cumsum(cnts)))
+            s_starts_a = cum0[tok_off[:-1]]
+            s_ends_a = cum0[tok_off[1:]]
+            s_row_of_a = np.repeat(np.arange(n_slow, dtype=np.int64),
+                                   s_ends_a - s_starts_a)
+            # per-token index of its LAST morpheme, relative to the
+            # row's form-stream start
+            lm_flat = (cum0[1:] - 1 - np.repeat(s_starts_a, srow_toks)
+                       ).tolist()
+            tok_off_l = tok_off.tolist()
             fc = reg.encode(forms)
-            fcols = reg.arrays()  # refetch: encode may register new forms
-            spans_b = _greedy_spans(fcols[3][fc], fcols[4][fc],
-                                    fcols[5][fc], s_row_of, s_starts, s_ends,
-                                    reg.gazN, reg.max_len)
-            flo = fcols[6][fc]
-            frf = fcols[7][fc]
-            fr1 = fcols[8][fc]
+        else:
+            forms = []
+            fc = None
+        cols = reg.arrays()  # fetch once, after ALL registrations
+
+        two = reg.max_len == 2
+        if two:
+            spans_a = _greedy_spans2(codes, cols[0], cols[1][codes],
+                                     cols[2][codes], row_of_a, row_start_a,
+                                     row_end_a, reg.gazN[2], reg.pair_core)
+        else:
+            spans_a = _greedy_spans(cols[0][codes], cols[1][codes],
+                                    cols[2][codes], row_of_a, row_start_a,
+                                    row_end_a, reg.gazN, reg.max_len)
+        lo = cols[6][codes]
+        rf = cols[7][codes]
+        r1 = cols[8][codes]
+        relpre = np.concatenate(
+            ([0], np.cumsum(rf | (r1 != None)))).tolist()  # noqa: E711
+
+        if fc is not None:
+            if two:
+                spans_b = _greedy_spans2(fc, cols[3], cols[4][fc],
+                                         cols[5][fc], s_row_of_a, s_starts_a,
+                                         s_ends_a, reg.gazN[2], reg.pair_form)
+            else:
+                spans_b = _greedy_spans(cols[3][fc], cols[4][fc],
+                                        cols[5][fc], s_row_of_a, s_starts_a,
+                                        s_ends_a, reg.gazN, reg.max_len)
+            flo = cols[6][fc]
+            frf = cols[7][fc]
+            fr1 = cols[8][fc]
+            frelpre = np.concatenate(
+                ([0], np.cumsum(frf | (fr1 != None)))).tolist()  # noqa: E711
         else:
             spans_b = {}
 
+        row_start_l = row_start_a.tolist()
+        slow_l = slow_a.tolist()
         results: list[tuple[list, list]] = []
         sr = -1
         for r in range(n_rows):
-            rs = row_start[r]
-            if not slow[r]:
+            rs = row_start_l[r]
+            if not slow_l[r]:
                 spans = spans_a.get(r)
                 if not spans:
                     results.append(([], []))
@@ -335,18 +446,20 @@ class BatchKgExtractor:
                     k = (surface, cat)
                     seen[k] = seen.get(k, 0) + 1
                     ments.append((surface, cat, st, en, seen[k]))
-                rels = self._rels_for(ments, lo, r1, rf, rs) \
+                rels = self._rels_for(ments, lo, r1, rf, rs, relpre) \
                     if len(ments) >= 2 else []
                 results.append((ments, rels))
             else:
                 sr += 1
                 results.append(self._slow_row(
-                    forms, s_start[r], s_lm[r], spans_a.get(r, ()),
-                    spans_b.get(sr, ()), flo, fr1, frf))
+                    forms, int(s_starts_a[sr]),
+                    lm_flat[tok_off_l[sr]:tok_off_l[sr + 1]],
+                    spans_a.get(r, ()), spans_b.get(sr, ()),
+                    flo, fr1, frf, frelpre))
         return results
 
     def _slow_row(self, forms, s0, last_morph, core_spans, base_spans,
-                  flo, fr1, frf):
+                  flo, fr1, frf, frelpre):
         """Assemble one apostrophe-bearing turn from the two batch span
         passes: base (morph_hybrid) spans over the MD forms, plus
         multi_align extras derived from the token-core spans, merged per
@@ -387,7 +500,7 @@ class BatchKgExtractor:
             seen[k] = seen.get(k, 0) + 1
             ments.append((surface, label, st, en, seen[k]))
 
-        rels = self._rels_for(ments, flo, fr1, frf, s0) \
+        rels = self._rels_for(ments, flo, fr1, frf, s0, frelpre) \
             if len(ments) >= 2 else []
         return ments, rels
 
@@ -395,8 +508,13 @@ class BatchKgExtractor:
 def extract_packs(extractor: BatchKgExtractor, batch: pa.Table,
                   num_buckets: int) -> pa.Table:
     """KgTurnProcessor.__call__ body: vectorized extract + map-side
-    partition packing (one pickled row per conv-hash bucket)."""
+    partition packing (one pickled row per conv-hash bucket). Payloads
+    are zlib-1 compressed: the reassembly exchange is object-store /
+    network bound (remote wall ~6x remote CPU on the shuffle split
+    tasks at sf0.1), and the mention tuples compress ~2.6x at ~1
+    us/turn — a direct cut in shuffled bytes for negligible CPU."""
     import pickle
+    import zlib
 
     texts = batch["text"].to_pylist()
     conv_ids = batch["conv_id"].to_pylist()
@@ -415,7 +533,8 @@ def extract_packs(extractor: BatchKgExtractor, batch: pa.Table,
         {
             "bucket": pa.array(buckets, pa.int32()),
             "payload": pa.array(
-                [pickle.dumps(packs[b], protocol=5) for b in buckets],
+                [zlib.compress(pickle.dumps(packs[b], protocol=5), 1)
+                 for b in buckets],
                 pa.binary(),
             ),
         }

@@ -271,12 +271,13 @@ def _resolve_bucket(group: pa.Table, emit: str) -> pa.Table:
     therefore inflates exactly one bucket; it is surfaced via pathlog
     (no silent caps) rather than silently truncated."""
     import pickle
+    import zlib
 
     from .kgflow import resolve_entries
 
     entries: list[tuple] = []
     for payload in group["payload"].to_pylist():
-        entries.extend(pickle.loads(payload))
+        entries.extend(pickle.loads(zlib.decompress(payload)))
     if len(entries) > 8 * _TARGET_ROWS_PER_BUCKET:
         from . import pathlog
 

@@ -80,9 +80,10 @@ def test_extract_packs_drops_mention_free_turns():
     })
     out = extract_packs(BatchKgExtractor(), batch, num_buckets=8)
     import pickle
+    import zlib
 
     entries = [e for p in out["payload"].to_pylist()
-               for e in pickle.loads(p)]
+               for e in pickle.loads(zlib.decompress(p))]
     assert sorted((e[0], e[1]) for e in entries) == [("c1", 0), ("c2", 0)]
     for e in entries:
         assert e[3]  # mentions present
