@@ -274,6 +274,17 @@ def _find_rel(lower: np.ndarray, rel1: np.ndarray, relf: np.ndarray,
               g0: int, g1: int, relN, rel_max: int):
     """relation_candidates inner scan: positions left to right, phrases
     longest-first at each position, phrase must fit inside the gap."""
+    if rel_max == 2:  # no slice/tuple build on the common shape
+        rel2 = relN[2]
+        for p in range(g0, g1):
+            if relf[p] and p + 2 <= g1:
+                pred = rel2.get((lower[p], lower[p + 1]))
+                if pred is not None:
+                    return pred
+            pr = rel1[p]
+            if pr is not None:
+                return pr
+        return None
     for p in range(g0, g1):
         if relf[p]:
             for L2 in range(min(rel_max, g1 - p), 1, -1):
@@ -465,7 +476,8 @@ class BatchKgExtractor:
         multi_align extras derived from the token-core spans, merged per
         kg_mentions. base_spans are local to this row; forms/flo/... are
         the batch-wide stream with this row at offset s0."""
-        base = [(" ".join(forms[s0 + st:s0 + en]), cat, st, en, 0)
+        base = [(forms[s0 + st] if en - st == 1
+                 else " ".join(forms[s0 + st:s0 + en]), cat, st, en, 0)
                 for st, en, cat in base_spans]
 
         # multi_align extras: soft-merge puts the token's core tag on its
@@ -479,6 +491,11 @@ class BatchKgExtractor:
             if en - st == 1:
                 p = last_morph[st]
                 extras.append((forms[s0 + p], cat, p, p + 1, 0))
+            elif en - st == 2:  # the gazetteer's longest phrase
+                if last_morph[st + 1] - last_morph[st] == 1:
+                    lo_, hi = last_morph[st], last_morph[st + 1] + 1
+                    extras.append((" ".join(forms[s0 + lo_:s0 + hi]),
+                                   cat, lo_, hi, 0))
             else:
                 if all(last_morph[t] - last_morph[t - 1] == 1
                        for t in range(st + 1, en)):
@@ -521,10 +538,13 @@ def extract_packs(extractor: BatchKgExtractor, batch: pa.Table,
     turn_idxs = batch["turn_idx"].to_pylist()
     results = extractor.extract(texts)
     packs: dict[int, list] = {}
+    fnv_memo: dict[str, int] = {}  # turns of one conv arrive together
     for conv_id, turn_idx, (ments, rels) in zip(conv_ids, turn_idxs, results):
         if not ments:
             continue
-        h = _fnv64(conv_id)
+        h = fnv_memo.get(conv_id)
+        if h is None:
+            h = fnv_memo[conv_id] = _fnv64(conv_id)
         sid = ((h >> 1) & ~0xFFFFF) | (turn_idx & 0xFFFFF)
         packs.setdefault(h % num_buckets, []).append(
             (conv_id, turn_idx, sid, ments, rels))
@@ -625,13 +645,26 @@ class BatchMentionExtractor:
         self.levels = tuple(levels) if levels else SCENARIOS
 
     def extract(self, texts: list[str]) -> list[dict[str, list[tuple]]]:
+        n_rows = len(texts)
+        if n_rows == 0:
+            return []
+        if n_rows > 64:
+            # per-batch text dedupe (same as BatchKgExtractor.extract):
+            # results are per-text pure and consumed read-only
+            enc = pa.array(texts, pa.string()).dictionary_encode()
+            uniq = enc.dictionary.to_pylist()
+            if len(uniq) < n_rows:
+                res = self._extract_unique(uniq)
+                idx = enc.indices.to_numpy(zero_copy_only=False)
+                return [res[i] for i in idx.tolist()]
+        return self._extract_unique(texts)
+
+    def _extract_unique(self, texts: list[str]) -> list[dict[str, list[tuple]]]:
         from .ops.spans import mentions_with_occ
 
         levels = self.levels
         lv = set(levels)
         n_rows = len(texts)
-        if n_rows == 0:
-            return []
         reg = self.reg
         flat, counts = _tokenize_batch(texts)
         codes = reg.encode(flat)
@@ -698,17 +731,35 @@ class BatchMentionExtractor:
         yc = reg.encode(yforms) if yforms else None
         cols = reg.arrays()  # fetch once, after ALL registrations
 
-        spans_a = _greedy_spans(cols[0][codes], cols[1][codes],
-                                cols[2][codes], row_of, row_start, row_end,
-                                reg.gazN, reg.max_len)
-        spans_b = (_greedy_spans(cols[3][fc], cols[4][fc], cols[5][fc],
-                                 h_row_of, h_starts, h_ends,
-                                 reg.gazN, reg.max_len)
-                   if fc is not None else {})
-        spans_c = (_greedy_spans(cols[3][yc], cols[4][yc], cols[5][yc],
-                                 y_row_of, y_starts, y_ends,
-                                 reg.gazN, reg.max_len)
-                   if yc is not None else {})
+        if reg.max_len == 2:
+            def _spans(cds, view, ro, rs, re_, cache):
+                return _greedy_spans2(
+                    cds, cols[0] if view == 0 else cols[3],
+                    cols[1 if view == 0 else 4][cds],
+                    cols[2 if view == 0 else 5][cds],
+                    np.asarray(ro, dtype=np.int64),
+                    np.asarray(rs, dtype=np.int64),
+                    np.asarray(re_, dtype=np.int64),
+                    reg.gazN[2], cache)
+
+            spans_a = _spans(codes, 0, row_of, row_start, row_end,
+                             reg.pair_core)
+            spans_b = (_spans(fc, 1, h_row_of, h_starts, h_ends,
+                              reg.pair_form) if fc is not None else {})
+            spans_c = (_spans(yc, 1, y_row_of, y_starts, y_ends,
+                              reg.pair_form) if yc is not None else {})
+        else:
+            spans_a = _greedy_spans(cols[0][codes], cols[1][codes],
+                                    cols[2][codes], row_of, row_start,
+                                    row_end, reg.gazN, reg.max_len)
+            spans_b = (_greedy_spans(cols[3][fc], cols[4][fc], cols[5][fc],
+                                     h_row_of, h_starts, h_ends,
+                                     reg.gazN, reg.max_len)
+                       if fc is not None else {})
+            spans_c = (_greedy_spans(cols[3][yc], cols[4][yc], cols[5][yc],
+                                     y_row_of, y_starts, y_ends,
+                                     reg.gazN, reg.max_len)
+                       if yc is not None else {})
 
         results: list[dict[str, list[tuple]]] = []
         sr = -1
@@ -755,6 +806,18 @@ class BatchDepExtractor:
 
     def extract(self, texts: list[str]):
         """Per row: (morph_forms, morph_token_ids, dep_info)."""
+        n_rows = len(texts)
+        if n_rows > 64:
+            # per-batch text dedupe (same as BatchKgExtractor.extract)
+            enc = pa.array(texts, pa.string()).dictionary_encode()
+            uniq = enc.dictionary.to_pylist()
+            if len(uniq) < n_rows:
+                res = self._extract_unique(uniq)
+                idx = enc.indices.to_numpy(zero_copy_only=False)
+                return [res[i] for i in idx.tolist()]
+        return self._extract_unique(texts)
+
+    def _extract_unique(self, texts: list[str]):
         from .ops.lattice import dep_info
 
         flat, counts = _tokenize_batch(texts)
