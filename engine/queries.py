@@ -239,100 +239,131 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
 
 def q5_region_revenue(sf_dir: str,
                       small_threshold: int = 5_000_000) -> pd.DataFrame:
-    """Shape: region⋈nation (25 rows) broadcast-merges onto streaming
-    customer batches, collapsing to a custkey -> (n_name, r_name)
-    3-column dim that is ray.put once (dimension-table broadcast);
-    orders annotate per batch from it; lineitem pre-aggregates revenue
-    per order per batch; the ONE large-large exchange is a packed
-    bucket join of the two partials on l_orderkey. The orders map never
-    materializes on the driver. (If customer outgrows broadcast at
-    extreme scale, swap the annotate for a second bucket_join on
-    custkey — measured 2x slower single-node, which is why it is not
-    the default.)"""
+    """Shape: the 25-row region⋈nation chain becomes an int8 nr_code;
+    below the threshold (footer row count, metadata only) the whole
+    orderkey -> nr_code map is built from two PRUNED driver reads
+    (orders 2 cols, customer 2 cols), broadcast once as a pair of
+    sorted numpy arrays, and lineitem streams through ONE fused
+    map_batches — searchsorted attach + 25-slot exact int64 fold — so
+    the small path has ZERO exchanges (every extra hash exchange costs
+    ~3 s fixed per session; this was the slowest bench query before).
+    Above the threshold the distributed shape runs: customer-dim
+    broadcast onto streaming orders, per-batch lineitem revenue
+    partials, ONE packed bucket join on l_orderkey, map-side combine
+    to <=25 rows per block, driver fold of the tiny partials. The
+    forced-path test (small_threshold=0) keeps both branches equal."""
     import pyarrow.parquet as pq
     import ray
-
-    from ray.data.aggregate import Sum
 
     from .joins import bucket_join
 
     region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
-    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim = (nation.merge(region, left_on="n_regionkey",
+                        right_on="r_regionkey")
+           [["n_nationkey", "n_name", "r_name"]]
+           .sort_values("n_nationkey").reset_index(drop=True))
+    dim["nr_code"] = np.arange(len(dim), dtype=np.int64)
 
-    # customer is a DIMENSION here: a pruned 2-column read merged with
-    # the 25-row nation x region chain gives custkey -> (n_name,
-    # r_name), ray.put once (dimension-table broadcast). If customer
-    # outgrew driver memory this read+merge becomes a streaming
-    # map_batches + the orders annotate a bucket_join on custkey; at
-    # every TPC-H-ish scale the 3-column dim is broadcast-sized.
-    cust = (
-        pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                      columns=["c_custkey", "c_nationkey"])
-        .to_pandas()
-        .merge(dim[["n_nationkey", "n_name", "r_name"]],
-               left_on="c_nationkey", right_on="n_nationkey")
-        [["c_custkey", "n_name", "r_name"]]
-    )
-    cref = ray.put(cust)
+    from .pathlog import note
 
-    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    n_orders = _tbl_rows(sf_dir, "orders")
+    li = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount"])
+    n_codes = len(dim)
 
-    def annotate_orders(df: pd.DataFrame, cref=cref) -> pd.DataFrame:
-        c = ray.get(cref)
-        out = df.merge(c, left_on="o_custkey", right_on="c_custkey")
-        return out.rename(columns={"o_orderkey": "l_orderkey"})[
-            ["l_orderkey", "n_name", "r_name"]
-        ]
+    if n_orders is not None and n_orders <= small_threshold:
+        note("q5", "fused_broadcast", n_orders=n_orders)
+        # customer is a DIMENSION here: pruned 2-column driver reads
+        # (bounded by the same threshold) give orderkey -> nr_code
+        cust = (
+            pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_nationkey"])
+            .to_pandas()
+            .merge(dim[["n_nationkey", "nr_code"]],
+                   left_on="c_nationkey", right_on="n_nationkey")
+            [["c_custkey", "nr_code"]]
+        )
+        omap = (
+            pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                          columns=["o_orderkey", "o_custkey"])
+            .to_pandas()
+            .merge(cust, left_on="o_custkey", right_on="c_custkey")
+            .sort_values("o_orderkey")
+        )
+        okeys = np.ascontiguousarray(omap["o_orderkey"].to_numpy(np.int64))
+        ocodes = np.ascontiguousarray(omap["nr_code"].to_numpy(np.int8))
+        ref = ray.put((okeys, ocodes))
 
-    orders_ann = orders.map_batches(annotate_orders, batch_format="pandas")
+        def fused(t: pa.Table, ref=ref, n_codes=n_codes) -> pd.DataFrame:
+            ok, oc = ray.get(ref)
+            lk = t["l_orderkey"].to_numpy()
+            pos = np.searchsorted(ok, lk)
+            if not np.array_equal(ok[np.minimum(pos, len(ok) - 1)], lk):
+                raise ValueError(
+                    "q5: lineitem orderkey absent from the orders map "
+                    "(FK invariant violated)")
+            rev = _rev_units(t["l_extendedprice"].to_numpy(),
+                             t["l_discount"].to_numpy())
+            code = oc[pos].astype(np.int64)
+            acc = np.zeros(n_codes, dtype=np.int64)
+            np.add.at(acc, code, rev)  # exact int64, order-independent
+            return pd.DataFrame(
+                {"nr_code": np.arange(n_codes, dtype=np.int64),
+                 "rev_units": acc})
 
-    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-
-    def partial(t: pa.Table) -> pd.DataFrame:
-        df = t.to_pandas()
-        df["rev_units"] = _rev_units(df["l_extendedprice"], df["l_discount"])
-        return df.groupby("l_orderkey", as_index=False)["rev_units"].sum()
-
-    li_part = li.map_batches(partial, batch_format="pyarrow")
-
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        # map-side combiner: each join-output block collapses to <=25
-        # (r, n) rows before the final exchange
-        if df.empty:
-            return pd.DataFrame({"r_name": pd.Series([], dtype="object"),
-                                 "n_name": pd.Series([], dtype="object"),
-                                 "rev_units": pd.Series([], dtype="int64")})
-        return df.groupby(["r_name", "n_name"], as_index=False)["rev_units"].sum()
-
-    # scale-aware switch (the canon/verify_pairs idiom): the annotated
-    # orders dim is 3 narrow columns; under the explicit threshold it
-    # broadcast-merges onto streaming lineitem partials (NO join
-    # shuffle), above it the packed bucket join runs. This is a BOUNDED
-    # broadcast with a distributed fallback — not the unconditional
-    # driver map of round 1.
-    orders_mat = orders_ann.materialize()
-    if orders_mat.count() <= small_threshold:
-        omap = orders_mat.to_pandas()
-        oref = ray.put(omap)
-
-        def attach(df: pd.DataFrame, oref=oref) -> pd.DataFrame:
-            o = ray.get(oref)
-            return combine(df.merge(o, on="l_orderkey"))
-
-        partials = li_part.map_batches(attach, batch_format="pandas")
+        partials = li.map_batches(fused, batch_format="pyarrow").to_pandas()
+        out = (partials.groupby("nr_code", as_index=False)["rev_units"].sum()
+               .merge(dim[["nr_code", "n_name", "r_name"]], on="nr_code"))
     else:
-        partials = bucket_join(li_part, orders_mat, on="l_orderkey").map_batches(
-            combine, batch_format="pandas")
+        note("q5", "bucket_join", n_orders=n_orders)
+        cust = (
+            pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_nationkey"])
+            .to_pandas()
+            .merge(dim[["n_nationkey", "nr_code"]],
+                   left_on="c_nationkey", right_on="n_nationkey")
+            [["c_custkey", "nr_code"]]
+        )
+        cref = ray.put(cust)
+        orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
-    out = (
-        partials
-        .groupby(["r_name", "n_name"])
-        .aggregate(Sum("rev_units", alias_name="rev_units"))
-        .to_pandas()
-        .sort_values(["r_name", "n_name"])
-        .reset_index(drop=True)
-    )
+        def annotate_orders(df: pd.DataFrame, cref=cref) -> pd.DataFrame:
+            c = ray.get(cref)
+            out = df.merge(c, left_on="o_custkey", right_on="c_custkey")
+            return out.rename(columns={"o_orderkey": "l_orderkey"})[
+                ["l_orderkey", "nr_code"]]
+
+        orders_ann = orders.map_batches(annotate_orders,
+                                        batch_format="pandas")
+
+        def partial(t: pa.Table) -> pd.DataFrame:
+            df = t.to_pandas()
+            df["rev_units"] = _rev_units(df["l_extendedprice"],
+                                         df["l_discount"])
+            return df.groupby("l_orderkey", as_index=False)["rev_units"].sum()
+
+        li_part = li.map_batches(partial, batch_format="pyarrow")
+
+        def combine(df: pd.DataFrame, n_codes=n_codes) -> pd.DataFrame:
+            # map-side combiner: each join-output block collapses to
+            # <=25 nr_code rows before the driver fold
+            if df.empty:
+                return pd.DataFrame({
+                    "nr_code": pd.Series([], dtype="int64"),
+                    "rev_units": pd.Series([], dtype="int64")})
+            return df.groupby("nr_code", as_index=False)["rev_units"].sum()
+
+        partials = (
+            bucket_join(li_part, orders_ann, on="l_orderkey",
+                        rows_hint=n_orders)
+            .map_batches(combine, batch_format="pandas")
+            .to_pandas()  # <=25 rows per block: driver fold is bounded
+        )
+        out = (partials.groupby("nr_code", as_index=False)["rev_units"].sum()
+               .merge(dim[["nr_code", "n_name", "r_name"]], on="nr_code"))
+
+    out = out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
     out["revenue"] = _units_2dec(out["rev_units"])
     return out[["r_name", "n_name", "revenue"]]
 
@@ -2491,13 +2522,22 @@ def events_lag_delta(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def orders_left_lineitem(sf_dir: str) -> pd.DataFrame:
+def orders_left_lineitem(sf_dir: str,
+                         small_threshold: int = 2_000_000) -> pd.DataFrame:
     """LEFT OUTER join family with zero-fill: every order with its
     lineitem count and exact integer-unit quantity sum — orders with
     NO lineitems surface with zeros (the rows an inner join silently
     drops). Lineitem side pre-aggregates through the grouped_sum
-    bucket-fold; the left attach is bucket_join how='left'."""
+    bucket-fold. The left attach is scale-aware: the query's contract
+    gathers every order to the driver anyway (it RETURNS the full
+    frame), so under the footer-count threshold the attach is a
+    driver-side pandas left merge on a pruned 1-column orders read —
+    zero exchanges; above it bucket_join how='left' keeps the attach
+    distributed (forced-path tested)."""
+    import pyarrow.parquet as pq
+
     from .joins import bucket_join
+    from .pathlog import note
     from .shuffle import grouped_sum
 
     def units(df: pd.DataFrame) -> pd.DataFrame:
@@ -2508,16 +2548,21 @@ def orders_left_lineitem(sf_dir: str) -> pd.DataFrame:
                            .astype("int64"),
         })
 
+    n_orders = _tbl_rows(sf_dir, "orders")
     li = (_rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
           .map_batches(units, batch_format="pandas"))
     agg = grouped_sum(li, "o_orderkey", ["n_items", "qty_units"],
-                      rows_hint=_tbl_rows(sf_dir, "orders"))
-    orders = _rp(sf_dir, "orders", ["o_orderkey"])
-    out = (
-        bucket_join(orders, agg, on="o_orderkey", how="left",
-                    rows_hint=_tbl_rows(sf_dir, "orders"))
-        .to_pandas()
-    )
+                      rows_hint=n_orders)
+    if n_orders is not None and n_orders <= small_threshold:
+        note("orders_left_lineitem", "driver_merge", n_orders=n_orders)
+        orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_orderkey"]).to_pandas()
+        out = orders.merge(agg.to_pandas(), on="o_orderkey", how="left")
+    else:
+        note("orders_left_lineitem", "bucket_join", n_orders=n_orders)
+        orders = _rp(sf_dir, "orders", ["o_orderkey"])
+        out = bucket_join(orders, agg, on="o_orderkey", how="left",
+                          rows_hint=n_orders).to_pandas()
     for c in ("n_items", "qty_units"):
         out[c] = out[c].fillna(0).astype("int64")
     return out.sort_values("o_orderkey").reset_index(drop=True)

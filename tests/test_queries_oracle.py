@@ -93,3 +93,15 @@ def test_q5_distributed_branch_matches(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_orders_left_lineitem_distributed_branch_matches(ray_session):
+    """small_threshold=0 forces the bucket_join left-attach branch;
+    result must equal the driver-merge fast path (and the oracle)."""
+    from engine.queries import orders_left_lineitem
+
+    fast = orders_left_lineitem(SF_DIR)
+    dist = orders_left_lineitem(SF_DIR, small_threshold=0)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(fast, dist)
