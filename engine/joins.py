@@ -14,13 +14,43 @@ joins — its joins are positional zips — so these are engine-native).
                    side's key columns, so right duplicates never
                    multiply rows; full keeps unmatched rows of BOTH
                    sides (right-only buckets emit left columns null).
-                   Skewed hot keys: raise B or pre-salt the key.
+                   Existence joins are three-regime by right key count:
+                   exact broadcast set -> Bloom prefilter + exact
+                   verify on the positives -> packed bucket join
+                   (see bucket_join body). Skewed hot keys: raise B or
+                   pre-salt the key.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+_BLOOM_K = 4          # hash functions per key
+_BLOOM_BITS_PER_KEY = 16   # -> fpr ~0.24% at k=4
+
+
+def _bloom_m_bits(n_keys: int) -> int:
+    """Power-of-two bitmap size: ~16 bits/key, clamped to [64Ki, 4Gi]
+    bits (8 KiB .. 512 MiB). Above the cap the fpr degrades gracefully
+    — correctness never depends on it (positives are exact-verified)."""
+    want = max(int(n_keys) * _BLOOM_BITS_PER_KEY, 1 << 16)
+    m = 1 << (want - 1).bit_length()
+    return min(m, 1 << 32)
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int) -> list[np.ndarray]:
+    """k bit positions per key via Kirsch-Mitzenmacher double hashing:
+    h1 from the same pd.util.hash_array the bucket exchange uses, h2 a
+    splitmix-style remix of h1 (forced odd), position_i = h1 + i*h2
+    mod m (m a power of two). Build and probe share this function, so
+    membership is exact for every inserted key (no false negatives)."""
+    h1 = pd.util.hash_array(keys)
+    h2 = (h1 ^ (h1 >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    h2 = (h2 ^ (h2 >> np.uint64(29))) | np.uint64(1)
+    mask = np.uint64(m_bits - 1)
+    return [(h1 + np.uint64(i) * h2) & mask for i in range(_BLOOM_K)]
 
 
 def broadcast_join(ds, small: pa.Table | pd.DataFrame, on: list[str] | str,
@@ -66,8 +96,6 @@ def bucket_join(left, right, on: list[str] | str,
     constant at any corpus size (VERDICT r3 #1)."""
     import pickle
 
-    import numpy as np
-
     from .shuffle import auto_buckets
 
     num_buckets = num_buckets or auto_buckets(rows_hint)
@@ -80,40 +108,7 @@ def bucket_join(left, right, on: list[str] | str,
             key = key + "\x1f" + df[c].astype("string").fillna("")
         return key
 
-    # existence joins consult the right side for KEY MEMBERSHIP only,
-    # so only its distinct keys matter: below a threshold they ship
-    # once via ray.put and the join is a map-side isin filter — no
-    # exchange at all (in a flagship-tuned session each hash exchange
-    # costs ~3 s of fixed wall). Above it, the packed bucket join runs.
-    if how in ("semi", "anti"):
-        import os
-
-        import ray
-
-        from .pathlog import note
-
-        keys_ds = right.map_batches(
-            lambda df: pd.DataFrame(
-                {"__k": pd.unique(_key_of(df))}) if len(df)
-            else pd.DataFrame({"__k": pd.Series([], dtype="string")}),
-            batch_format="pandas",
-        ).materialize()
-        n_keys = keys_ds.count()
-        bcast_max = int(os.environ.get("GRAFT_EXIST_BCAST", 2_000_000))
-        if n_keys <= bcast_max:
-            note("bucket_join", f"broadcast_{how}", n_keys=n_keys)
-            kset = frozenset(keys_ds.to_pandas()["__k"])
-            kref = ray.put(kset)
-
-            def exist(df: pd.DataFrame, kref=kref) -> pd.DataFrame:
-                if df.empty:
-                    return df
-                mask = _key_of(df).isin(ray.get(kref)).to_numpy()
-                return df[mask] if how == "semi" else df[~mask]
-
-            return left.map_batches(exist, batch_format="pandas")
-        note("bucket_join", f"bucket_{how}", n_keys=n_keys,
-             num_buckets=num_buckets)
+    l_cols = list(left.schema().names)
 
     def pack(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -137,47 +132,148 @@ def bucket_join(left, right, on: list[str] | str,
 
         return fn
 
-    l_cols = list(left.schema().names)
-    r_cols = list(right.schema().names)
-    out_cols = (l_cols if how in ("semi", "anti")
-                else l_cols + [c for c in r_cols if c not in l_cols])
+    def _packed(lds_in, rds_in, r_cols: list[str]):
+        out_cols = (l_cols if how in ("semi", "anti")
+                    else l_cols + [c for c in r_cols if c not in l_cols])
 
-    lds = left.map_batches(pack("l"), batch_format="pandas")
-    rds = right.map_batches(pack("r"), batch_format="pandas")
+        def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            frames = {"l": [], "r": []}
+            for side, blob in zip(g["__side"], g["__blob"]):
+                frames[side].append(pickle.loads(blob))
+            if not frames["l"]:
+                if how == "full" and frames["r"]:
+                    # right-only bucket: full outer keeps these rows
+                    # with the left-only columns null
+                    rg = pd.concat(frames["r"], ignore_index=True)
+                    return rg.reindex(columns=out_cols)
+                return pd.DataFrame(columns=out_cols)
+            if how == "inner" and not frames["r"]:
+                return pd.DataFrame(columns=out_cols)
+            lg = pd.concat(frames["l"], ignore_index=True)
+            if how in ("semi", "anti"):
+                # existence joins: left rows with (semi) / without
+                # (anti) a key match on the right — only the right KEY
+                # COLUMNS are consulted, no payload widening,
+                # duplicates never multiply
+                if not frames["r"]:
+                    return (lg[l_cols] if how == "anti"
+                            else pd.DataFrame(columns=l_cols))
+                rk = pd.concat(frames["r"], ignore_index=True)[on_cols]
+                rk = rk.drop_duplicates()
+                m = lg.merge(rk, on=on_cols, how="left", indicator=True)
+                keep = m["_merge"] == ("both" if how == "semi"
+                                       else "left_only")
+                return m[keep][l_cols]
+            rg = (pd.concat(frames["r"], ignore_index=True)
+                  if frames["r"] else pd.DataFrame(columns=r_cols))
+            return lg.merge(rg, on=on_cols,
+                            how="outer" if how == "full" else how)
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        frames = {"l": [], "r": []}
-        for side, blob in zip(g["__side"], g["__blob"]):
-            frames[side].append(pickle.loads(blob))
-        if not frames["l"]:
-            if how == "full" and frames["r"]:
-                # right-only bucket: full outer keeps these rows with
-                # the left-only columns null
-                rg = pd.concat(frames["r"], ignore_index=True)
-                return rg.reindex(columns=out_cols)
-            return pd.DataFrame(columns=out_cols)
-        if how == "inner" and not frames["r"]:
-            return pd.DataFrame(columns=out_cols)
-        lg = pd.concat(frames["l"], ignore_index=True)
-        if how in ("semi", "anti"):
-            # existence joins: left rows with (semi) / without (anti) a
-            # key match on the right — only the right KEY COLUMNS are
-            # consulted, no payload widening, duplicates never multiply
-            if not frames["r"]:
-                return (lg[l_cols] if how == "anti"
-                        else pd.DataFrame(columns=l_cols))
-            rk = pd.concat(frames["r"], ignore_index=True)[on_cols]
-            rk = rk.drop_duplicates()
-            m = lg.merge(rk, on=on_cols, how="left", indicator=True)
-            keep = m["_merge"] == ("both" if how == "semi" else "left_only")
-            return m[keep][l_cols]
-        rg = (pd.concat(frames["r"], ignore_index=True)
-              if frames["r"] else pd.DataFrame(columns=r_cols))
-        return lg.merge(rg, on=on_cols,
-                        how="outer" if how == "full" else how)
+        from .shuffle import bucket_partitions
 
-    from .shuffle import bucket_partitions
+        lds = lds_in.map_batches(pack("l"), batch_format="pandas")
+        rds = rds_in.map_batches(pack("r"), batch_format="pandas")
+        return lds.union(rds).groupby(
+            "__bucket", num_partitions=bucket_partitions(num_buckets)
+        ).map_groups(merge_bucket, batch_format="pandas")
 
-    return lds.union(rds).groupby(
-        "__bucket", num_partitions=bucket_partitions(num_buckets)
-    ).map_groups(merge_bucket, batch_format="pandas")
+    # existence joins consult the right side for KEY MEMBERSHIP only,
+    # so only its distinct keys matter. Three regimes (pathlog'd,
+    # env-overridable, each forced-path tested):
+    #   n_keys <= GRAFT_EXIST_BCAST (2M): the exact key set ships once
+    #     via ray.put and the join is a map-side isin filter — no
+    #     exchange at all (in a flagship-tuned session each hash
+    #     exchange costs ~3 s of fixed wall).
+    #   n_keys <= GRAFT_EXIST_BLOOM (200M): a Bloom filter over the
+    #     right keys (16 bits/key, k=4, fpr ~0.24%) ships instead —
+    #     bitmap built by streaming worker-computed bit positions to
+    #     the driver (O(m_bits) driver memory; positions arrive one
+    #     batch at a time, never gathered at once). Bloom-NEGATIVE
+    #     left rows are definite non-members (no false negatives), so
+    #     only bloom-positives (true matches + ~0.2% false positives)
+    #     enter the exact packed-join verify: the all-to-all exchange
+    #     carries roughly the match set, not the corpus. For `anti`
+    #     the negatives stream straight to the output — that branch
+    #     reads `left` twice (re-reading a source beats re-shuffling
+    #     it at 100-TB scale).
+    #   above: the packed bucket join, right side pre-reduced to its
+    #     per-batch distinct key columns.
+    if how in ("semi", "anti"):
+        import os
+
+        import ray
+
+        from .pathlog import note
+
+        rkeys_ds = right.map_batches(
+            lambda df: (df[on_cols].drop_duplicates() if len(df)
+                        else pd.DataFrame(columns=on_cols)),
+            batch_format="pandas",
+        ).materialize()
+        n_keys = rkeys_ds.count()
+        bcast_max = int(os.environ.get("GRAFT_EXIST_BCAST", 2_000_000))
+        bloom_max = int(os.environ.get("GRAFT_EXIST_BLOOM", 200_000_000))
+        if n_keys <= bcast_max:
+            note("bucket_join", f"broadcast_{how}", n_keys=n_keys)
+            kset = frozenset(_key_of(rkeys_ds.to_pandas())
+                             if n_keys else ())
+            kref = ray.put(kset)
+
+            def exist(df: pd.DataFrame, kref=kref) -> pd.DataFrame:
+                if df.empty:
+                    return df
+                mask = _key_of(df).isin(ray.get(kref)).to_numpy()
+                return df[mask] if how == "semi" else df[~mask]
+
+            return left.map_batches(exist, batch_format="pandas")
+        if n_keys <= bloom_max:
+            m_bits = _bloom_m_bits(n_keys)
+            note("bucket_join", f"bloom_{how}", n_keys=n_keys,
+                 m_bits=m_bits, num_buckets=num_buckets)
+
+            def emit_positions(df: pd.DataFrame) -> pd.DataFrame:
+                if df.empty:
+                    return pd.DataFrame(
+                        {"__p": pd.Series([], dtype="uint64")})
+                pos = _bloom_positions(
+                    _key_of(df).to_numpy(dtype=object), m_bits)
+                return pd.DataFrame(
+                    {"__p": np.unique(np.concatenate(pos))})
+
+            bits = np.zeros(m_bits >> 6, dtype=np.uint64)
+            for pb in rkeys_ds.map_batches(
+                    emit_positions, batch_format="pandas").iter_batches(
+                    batch_format="pandas"):
+                p = pb["__p"].to_numpy(dtype=np.uint64)
+                np.bitwise_or.at(
+                    bits, (p >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (p & np.uint64(63)))
+            bref = ray.put(bits)
+
+            def member_mask(df: pd.DataFrame) -> np.ndarray:
+                bm = ray.get(bref)
+                keep = np.ones(len(df), dtype=bool)
+                for p in _bloom_positions(
+                        _key_of(df).to_numpy(dtype=object), m_bits):
+                    word = (p >> np.uint64(6)).astype(np.int64)
+                    keep &= ((bm[word] >> (p & np.uint64(63)))
+                             & np.uint64(1)).astype(bool)
+                return keep
+
+            def keep_pos(df: pd.DataFrame) -> pd.DataFrame:
+                return df if df.empty else df[member_mask(df)]
+
+            def keep_neg(df: pd.DataFrame) -> pd.DataFrame:
+                return df if df.empty else df[~member_mask(df)]
+
+            pos = left.map_batches(keep_pos, batch_format="pandas")
+            verified = _packed(pos, rkeys_ds, on_cols)
+            if how == "semi":
+                return verified
+            neg = left.map_batches(keep_neg, batch_format="pandas")
+            return neg.union(verified)
+        note("bucket_join", f"bucket_{how}", n_keys=n_keys,
+             num_buckets=num_buckets)
+        return _packed(left, rkeys_ds, on_cols)
+
+    return _packed(left, right, list(right.schema().names))

@@ -306,12 +306,21 @@ def test_existence_join_paths_agree(ray_session, monkeypatch):
         bcast = (bucket_join(rd.from_pandas(l), rd.from_pandas(r),
                              on="k", how=how).to_pandas()
                  .sort_values(["k", "a"]).reset_index(drop=True))
+        # force the packed bucket path (skip broadcast AND bloom)
         monkeypatch.setenv("GRAFT_EXIST_BCAST", "0")
+        monkeypatch.setenv("GRAFT_EXIST_BLOOM", "0")
         forced = (bucket_join(rd.from_pandas(l), rd.from_pandas(r),
                               on="k", how=how, num_buckets=17).to_pandas()
                   .sort_values(["k", "a"]).reset_index(drop=True))
+        # force the bloom prefilter + exact-verify path
+        monkeypatch.setenv("GRAFT_EXIST_BLOOM", "1000000")
+        bloom = (bucket_join(rd.from_pandas(l), rd.from_pandas(r),
+                             on="k", how=how, num_buckets=17).to_pandas()
+                 .sort_values(["k", "a"]).reset_index(drop=True))
         monkeypatch.delenv("GRAFT_EXIST_BCAST")
+        monkeypatch.delenv("GRAFT_EXIST_BLOOM")
         pd.testing.assert_frame_equal(bcast, forced)
+        pd.testing.assert_frame_equal(bcast, bloom)
         keys = set(r["k"])
         want = (l[l["k"].isin(keys)] if how == "semi"
                 else l[~l["k"].isin(keys)])
@@ -339,3 +348,65 @@ def test_range_sort_skew_and_duplicates(ray_session):
                      ["k", "i"], num_buckets=64)
     want = df.sort_values(["k", "i"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["k", "i"]], want)
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    """The bloom primitive itself: every inserted key probes positive
+    (correctness of the prefilter rests on zero false negatives), and
+    the false-positive rate on disjoint keys stays near the designed
+    ~0.24% (16 bits/key, k=4) — well under 2%."""
+    import numpy as np
+    import pandas as pd
+
+    from engine.joins import _bloom_m_bits, _bloom_positions
+
+    n = 50_000
+    members = np.array([f"key:{i}" for i in range(n)], dtype=object)
+    others = np.array([f"other:{i}" for i in range(n)], dtype=object)
+    m_bits = _bloom_m_bits(n)
+    bits = np.zeros(m_bits >> 6, dtype=np.uint64)
+    for p in _bloom_positions(members, m_bits):
+        np.bitwise_or.at(bits, (p >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (p & np.uint64(63)))
+
+    def probe(keys):
+        keep = np.ones(len(keys), dtype=bool)
+        for p in _bloom_positions(keys, m_bits):
+            word = (p >> np.uint64(6)).astype(np.int64)
+            keep &= ((bits[word] >> (p & np.uint64(63)))
+                     & np.uint64(1)).astype(bool)
+        return keep
+
+    assert probe(members).all()          # no false negatives, ever
+    fpr = probe(others).mean()
+    assert fpr < 0.02, fpr
+
+
+def test_bloom_existence_join_composite_key(ray_session, monkeypatch):
+    """Bloom path with a composite (int, string) key: equals the exact
+    broadcast-path answer for semi and anti."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.joins import bucket_join
+
+    rng = np.random.default_rng(11)
+    l = pd.DataFrame({"k1": rng.integers(0, 40, 600),
+                      "k2": rng.choice(list("abcd"), 600),
+                      "v": np.arange(600)})
+    r = pd.DataFrame({"k1": rng.integers(0, 40, 150),
+                      "k2": rng.choice(list("abcd"), 150)})
+    for how in ("semi", "anti"):
+        exact = (bucket_join(rd.from_pandas(l), rd.from_pandas(r),
+                             on=["k1", "k2"], how=how).to_pandas()
+                 .sort_values("v").reset_index(drop=True))
+        monkeypatch.setenv("GRAFT_EXIST_BCAST", "0")
+        monkeypatch.setenv("GRAFT_EXIST_BLOOM", "1000000")
+        bloom = (bucket_join(rd.from_pandas(l), rd.from_pandas(r),
+                             on=["k1", "k2"], how=how,
+                             num_buckets=13).to_pandas()
+                 .sort_values("v").reset_index(drop=True))
+        monkeypatch.delenv("GRAFT_EXIST_BCAST")
+        monkeypatch.delenv("GRAFT_EXIST_BLOOM")
+        pd.testing.assert_frame_equal(exact, bloom)
