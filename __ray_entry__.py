@@ -1054,6 +1054,35 @@ def oracle_sql() -> dict[str, str]:
         "events_global_sort": """
             SELECT event_id, ROUND(value, 6) AS value
             FROM events ORDER BY value, event_id""",
+        # weighted systematic sampling: integer cumulative-weight scan
+        # in doc_id order; selected iff (c_prev, c] covers a multiple
+        # of step = total // 500 — mirrors engine/sortop.py prefix_sum
+        # + the integer select in queries.docs_systematic_sample
+        "docs_systematic_sample": """
+            WITH c AS (
+                SELECT doc_id, n_chars,
+                       SUM(n_chars) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cw
+                FROM documents),
+            s AS (SELECT CAST(SUM(n_chars) AS BIGINT) // 500 AS step
+                  FROM documents)
+            SELECT c.doc_id, c.n_chars, CAST(c.cw AS BIGINT) AS cum_chars
+            FROM c, s
+            WHERE (CAST(c.cw AS BIGINT) // GREATEST(s.step, 1))
+                > ((CAST(c.cw AS BIGINT) - c.n_chars)
+                   // GREATEST(s.step, 1))
+            ORDER BY c.doc_id""",
+        # CDC compaction: latest event per (user_id, event_type),
+        # (ts, event_id) the deterministic tiebreak
+        "events_compact_latest": """
+            SELECT user_id, event_type, event_id,
+                   CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+                   ROUND(value, 6) AS value
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) = 1
+            ORDER BY user_id, event_type""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # kg_triples, kg_mentions_all, kg_dep_morphs, kg_top_entities,
         # kg_pagerank, ncrf_label_turns, ncrf_train_eval,

@@ -132,7 +132,8 @@ def run_bench() -> dict:
         "docs_normalized_dedup", "events_first_last",
         "lineitem_corr_stats", "bigram_collocations",
         "inverted_index_terms", "docs_ntile_chars", "events_user_hll",
-        "events_global_sort",
+        "events_global_sort", "docs_systematic_sample",
+        "events_compact_latest",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

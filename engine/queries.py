@@ -3546,3 +3546,74 @@ def events_global_sort(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["events_global_sort"] = events_global_sort
+
+
+def docs_systematic_sample(sf_dir: str, k: int = 500) -> pd.DataFrame:
+    """Weighted systematic sampling (sample-proportional-to-size, the
+    dataset-downsizing op): step = total_chars // k; a doc is selected
+    iff its cumulative-weight interval (c_prev, c] in doc_id order
+    covers a multiple of step. Integer-exact and deterministic —
+    partitioning can't change the selection — via the distributed
+    two-phase prefix scan (engine/sortop.py prefix_sum: per-range
+    partials -> driver offsets -> per-range ordered cumsum)."""
+    from .sortop import prefix_sum
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "n_chars"])
+    scanned, total = prefix_sum(ds, "doc_id", "n_chars",
+                                out_col="cum_chars",
+                                rows_hint=_tbl_rows(sf_dir, "documents"))
+    step = max(1, total // k)
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        c = df["cum_chars"].to_numpy(dtype="int64")
+        prev = c - df["n_chars"].to_numpy(dtype="int64")
+        return df[(c // step) > (prev // step)]
+
+    out = (scanned.map_batches(select, batch_format="pandas")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for col in ("doc_id", "n_chars", "cum_chars"):
+        out[col] = out[col].astype("int64")
+    return out[["doc_id", "n_chars", "cum_chars"]]
+
+
+QUERIES["docs_systematic_sample"] = docs_systematic_sample
+
+
+def events_compact_latest(sf_dir: str) -> pd.DataFrame:
+    """CDC-style compaction: the LATEST event per (user_id,
+    event_type) — dedupe-by-key-keep-newest-version, the upsert
+    materialization every log-structured ingest needs before training
+    on event state. Arg-max over (ts_ms, event_id) (the deterministic
+    tiebreak) via a per-batch tail-1 combiner, folded on complete key
+    groups by grouped_fold; one row per key per batch ever moves."""
+    from .shuffle import grouped_fold
+
+    ds = _rp(sf_dir, "events",
+             ["user_id", "event_type", "event_id", "ts", "value"])
+
+    def reduce_frame(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "event_type", "ts_ms", "event_id"])
+        return d.groupby(["user_id", "event_type"], as_index=False).tail(1)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(ts_ms=df["ts"].astype("datetime64[ms]")
+                       .astype("int64")).drop(columns="ts")
+        return reduce_frame(df)
+
+    out = (
+        grouped_fold(ds.map_batches(combine, batch_format="pandas"),
+                     ["user_id", "event_type"], reduce_frame,
+                     rows_hint=_tbl_rows(sf_dir, "events"))
+        .to_pandas()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    for col in ("user_id", "event_id", "ts_ms"):
+        out[col] = out[col].astype("int64")
+    out["value"] = out["value"].round(6)
+    return out[["user_id", "event_type", "event_id", "ts_ms", "value"]]
+
+
+QUERIES["events_compact_latest"] = events_compact_latest

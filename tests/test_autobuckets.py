@@ -410,3 +410,27 @@ def test_bloom_existence_join_composite_key(ray_session, monkeypatch):
         monkeypatch.delenv("GRAFT_EXIST_BCAST")
         monkeypatch.delenv("GRAFT_EXIST_BLOOM")
         pd.testing.assert_frame_equal(exact, bloom)
+
+
+def test_prefix_sum_matches_pandas_forced_buckets(ray_session):
+    """Distributed two-phase scan equals the single-core cumsum at a
+    forced bucket count far above the default, on shuffled input order
+    with zero and duplicate weights."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from engine.sortop import prefix_sum
+
+    rng = np.random.default_rng(13)
+    n = 25_000
+    df = pd.DataFrame({"id": rng.permutation(n).astype("int64"),
+                       "w": rng.integers(0, 7, n).astype("int64")})
+    ds, total = prefix_sum(rd.from_pandas(df, override_num_blocks=16),
+                           "id", "w", out_col="c", num_buckets=97)
+    got = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    want = df.sort_values("id").reset_index(drop=True)
+    want["c"] = want["w"].cumsum()
+    pd.testing.assert_frame_equal(got[["id", "w", "c"]],
+                                  want[["id", "w", "c"]])
+    assert total == int(df["w"].sum())
