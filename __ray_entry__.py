@@ -1073,6 +1073,22 @@ def oracle_sql() -> dict[str, str]:
                 > ((CAST(c.cw AS BIGINT) - c.n_chars)
                    // GREATEST(s.step, 1))
             ORDER BY c.doc_id""",
+        # incremental-ingest dedup: new shard (top 20% of doc_id
+        # range) vs history, within-shard keeper = MIN(doc_id);
+        # FLOOR matches Python int() truncation of the cut
+        "docs_incremental_dedup": """
+            WITH m AS (SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1))
+                              AS BIGINT) AS cut FROM documents),
+            new AS (SELECT doc_id, text FROM documents, m
+                    WHERE doc_id >= m.cut),
+            old AS (SELECT DISTINCT text FROM documents, m
+                    WHERE doc_id < m.cut),
+            keep AS (SELECT doc_id, text FROM new
+                     QUALIFY row_number() OVER (PARTITION BY text
+                                                ORDER BY doc_id) = 1)
+            SELECT k.doc_id FROM keep k
+            WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = k.text)
+            ORDER BY k.doc_id""",
         # CDC compaction: latest event per (user_id, event_type),
         # (ts, event_id) the deterministic tiebreak
         "events_compact_latest": """

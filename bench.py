@@ -133,7 +133,7 @@ def run_bench() -> dict:
         "lineitem_corr_stats", "bigram_collocations",
         "inverted_index_terms", "docs_ntile_chars", "events_user_hll",
         "events_global_sort", "docs_systematic_sample",
-        "events_compact_latest",
+        "events_compact_latest", "docs_incremental_dedup",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

@@ -3617,3 +3617,55 @@ def events_compact_latest(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["events_compact_latest"] = events_compact_latest
+
+
+def docs_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental-ingest dedup: the NEW shard (top 20% of the doc_id
+    range) deduped against the HISTORICAL corpus (bottom 80%) — the op
+    an append-only corpus runs per ingest batch instead of re-deduping
+    the full 100 TB. Within-shard dups collapse first (keeper = MIN
+    doc_id, per-batch combiner through grouped_fold), then the shard
+    anti-joins history on the text key through bucket_join how='anti'
+    — exact broadcast set when history is driver-sized, Bloom
+    prefilter + exact verify in the middle regime (only shard docs
+    whose key MIGHT be historical enter the exchange), packed join
+    above. The join key here is the raw text so the DuckDB mirror is
+    literal equality; at the 100-TB end the same pipeline keys on a
+    128-bit content hash (engine/dedup.py exact_dedup idiom) so the
+    exchange ships 16-byte keys, not documents."""
+    import pyarrow.parquet as pq
+
+    from .joins import bucket_join
+    from .shuffle import grouped_fold
+
+    # shard cut from footer COLUMN STATISTICS (metadata only)
+    meta = pq.read_metadata(os.path.join(sf_dir, "documents.parquet"))
+    ci = meta.schema.names.index("doc_id")
+    max_id = max(meta.row_group(i).column(ci).statistics.max
+                 for i in range(meta.num_row_groups))
+    cut = int(0.8 * (max_id + 1))
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    new = ds.map_batches(lambda df: df[df["doc_id"] >= cut],
+                         batch_format="pandas")
+    old = ds.map_batches(
+        lambda df: df.loc[df["doc_id"] < cut, ["text"]],
+        batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("text", as_index=False).agg(
+            doc_id=("doc_id", "min"))
+
+    shard = grouped_fold(
+        new.map_batches(combine, batch_format="pandas"), "text", combine,
+        rows_hint=_tbl_rows(sf_dir, "documents"))
+
+    kept = bucket_join(shard, old, on="text", how="anti",
+                       rows_hint=_tbl_rows(sf_dir, "documents"))
+    out = (kept.to_pandas()[["doc_id"]]
+           .sort_values("doc_id").reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+QUERIES["docs_incremental_dedup"] = docs_incremental_dedup
