@@ -3669,3 +3669,68 @@ def docs_incremental_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["docs_incremental_dedup"] = docs_incremental_dedup
+
+
+def _mg_trim(df: pd.DataFrame, capacity: int) -> tuple[pd.DataFrame, int]:
+    """Misra-Gries trim: keep at most `capacity` counters by
+    subtracting the (capacity+1)-th largest count from all and
+    dropping non-positives (Agarwal et al., Mergeable Summaries).
+    Returns (trimmed frame, d) where d is the subtracted value — the
+    per-trim increment of the global underestimate bound. A key with
+    true count > sum(d) can never be dropped."""
+    if len(df) <= capacity:
+        return df, 0
+    c = df["cnt"].to_numpy()
+    d = int(np.partition(c, -(capacity + 1))[-(capacity + 1)])
+    out = df[df["cnt"] > d].copy()
+    out["cnt"] = out["cnt"] - d
+    return out, d
+
+
+def events_heavy_users_sketch(sf_dir: str, capacity: int = 4096,
+                              k: int = 20) -> pd.DataFrame:
+    """Approximate heavy hitters — top users by event count — via
+    mergeable Misra-Gries summaries: per batch an EXACT value_counts
+    trimmed to `capacity` counters, partials merged on the driver
+    (sum counters, re-trim — same constant-size-partial shape as the
+    HLL). Every emitted row carries its guaranteed bounds:
+    lb = surviving counter, ub = lb + total subtracted mass. The
+    100-TB replacement for an exact per-user fold when only the
+    extreme tail matters: the exchange carries `capacity` rows per
+    batch, never the key space. Rows-only (approximate by design);
+    the no-false-dismissal guarantee and the error bound are pinned
+    by a zipf-skew unit test."""
+    ds = _rp(sf_dir, "events", ["user_id"])
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("user_id", as_index=False).size()
+             .rename(columns={"size": "cnt"}))
+        trimmed, d = _mg_trim(g, capacity)
+        trimmed = trimmed.copy()
+        trimmed["d"] = 0
+        if d:
+            # carry the trim mass as its own row so the driver merge
+            # can accumulate the bound without a side channel
+            trimmed = pd.concat(
+                [trimmed, pd.DataFrame({"user_id": [-1], "cnt": [0],
+                                        "d": [d]})], ignore_index=True)
+        return trimmed
+
+    parts = ds.map_batches(sketch, batch_format="pandas").to_pandas()
+    err = int(parts["d"].sum())
+    merged = (parts[parts["user_id"] >= 0]
+              .groupby("user_id", as_index=False)["cnt"].sum())
+    merged, d2 = _mg_trim(merged, capacity)
+    err += d2
+    top = merged.nlargest(k, ["cnt", "user_id"]).copy()
+    top = top.sort_values(["cnt", "user_id"],
+                          ascending=[False, True]).head(k)
+    out = pd.DataFrame({
+        "user_id": top["user_id"].to_numpy(dtype="int64"),
+        "lb_count": top["cnt"].to_numpy(dtype="int64"),
+        "ub_count": (top["cnt"] + err).to_numpy(dtype="int64"),
+    })
+    return out.reset_index(drop=True)
+
+
+QUERIES["events_heavy_users_sketch"] = events_heavy_users_sketch

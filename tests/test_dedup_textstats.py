@@ -327,3 +327,51 @@ def test_splitmix64_dispersion():
     h = _splitmix64(np.arange(1_000_000, dtype=np.int64).view(np.uint64))
     idx = (h >> np.uint64(50)).astype(np.int64)
     assert len(np.unique(idx)) == 1 << 14
+
+
+def test_mg_heavy_hitters_guarantees(ray_session, tmp_path):
+    """Misra-Gries sketch on a zipf-skewed synthetic events table:
+    (a) the true top hitters all appear with lb <= true <= ub,
+    (b) the error bound is honest (ub - lb == accumulated trim mass),
+    (c) with capacity >= distinct keys the counts are exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.queries import events_heavy_users_sketch
+
+    rng = np.random.default_rng(21)
+    # zipf over 30k keys, 300k rows: a handful of keys dominate
+    uid = rng.zipf(1.3, 300_000).astype(np.int64) % 30_000
+    n = len(uid)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.full(n, 1_600_000_000_000),
+                       type=pa.timestamp("ms")),
+        "user_id": pa.array(uid),
+        "event_type": pa.array(["click"] * n),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array([""] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    true = pd.Series(uid).value_counts()
+    got = events_heavy_users_sketch(str(tmp_path), capacity=1024, k=10)
+    err = int((got["ub_count"] - got["lb_count"]).iloc[0])
+    # every true top-5 key must be reported (no false dismissal for
+    # counts far above the bound) with honest bounds
+    top5 = set(true.index[:5])
+    reported = dict(zip(got["user_id"], zip(got["lb_count"],
+                                            got["ub_count"])))
+    for key in top5:
+        assert true[key] > err  # premise: genuinely heavy
+        assert key in reported, (key, true[key], err)
+        lb, ub = reported[key]
+        assert lb <= true[key] <= ub, (key, lb, true[key], ub)
+
+    # exactness when capacity exceeds the key space
+    exact = events_heavy_users_sketch(str(tmp_path), capacity=64_000,
+                                      k=10)
+    assert (exact["lb_count"] == exact["ub_count"]).all()
+    for _, row in exact.iterrows():
+        assert true[row.user_id] == row.lb_count
