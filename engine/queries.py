@@ -183,7 +183,8 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     if n_keys <= 5_000_000:
         note("q3", "broadcast_semi", n_keys=n_keys)
         okeys = pa.concat_tables(
-            [b for b in okeys_ds.iter_batches(batch_format="pyarrow")]
+            [b for b in okeys_ds.iter_batches(batch_size=None,
+                                              batch_format="pyarrow")]
         )["l_orderkey"].combine_chunks()
         oref = ray.put(okeys)
 
