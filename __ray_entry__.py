@@ -1073,6 +1073,32 @@ def oracle_sql() -> dict[str, str]:
                 > ((CAST(c.cw AS BIGINT) - c.n_chars)
                    // GREATEST(s.step, 1))
             ORDER BY c.doc_id""",
+        # per-label embedding centroid, long (label, dim, val) form;
+        # DuckDB list indexing is 1-based like the engine's dim column
+        "embed_label_centroids": """
+            WITH d AS (SELECT generate_series AS dim
+                       FROM generate_series(1, 64))
+            SELECT e.label, d.dim,
+                   ROUND(AVG(e.embedding[d.dim]), 6) AS val
+            FROM embeddings e CROSS JOIN d
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        # symmetric int8 quantization; floor(+0.5) matches the engine
+        # exactly (no ROUND-half-mode divergence), scale guarded vs 0
+        "embed_quantize_int8": """
+            WITH s AS (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(embedding,
+                                               x -> abs(x))) AS scale
+                FROM embeddings),
+            d AS (SELECT generate_series AS dim
+                  FROM generate_series(1, 64))
+            SELECT s.vec_id, d.dim,
+                   CASE WHEN s.scale = 0 THEN 0
+                        ELSE CAST(FLOOR(127.0 * s.embedding[d.dim]
+                                        / s.scale + 0.5) AS BIGINT)
+                   END AS q
+            FROM s CROSS JOIN d
+            ORDER BY s.vec_id, d.dim""",
         # incremental-ingest dedup: new shard (top 20% of doc_id
         # range) vs history, within-shard keeper = MIN(doc_id);
         # FLOOR matches Python int() truncation of the cut

@@ -134,7 +134,8 @@ def run_bench() -> dict:
         "inverted_index_terms", "docs_ntile_chars", "events_user_hll",
         "events_global_sort", "docs_systematic_sample",
         "events_compact_latest", "docs_incremental_dedup",
-        "events_heavy_users_sketch",
+        "events_heavy_users_sketch", "embed_label_centroids",
+        "embed_quantize_int8",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

@@ -3735,3 +3735,82 @@ def events_heavy_users_sketch(sf_dir: str, capacity: int = 4096,
 
 
 QUERIES["events_heavy_users_sketch"] = events_heavy_users_sketch
+
+
+def embed_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label centroid of the embedding column — the bounded-key
+    VECTOR AGGREGATE (class prototypes, cluster-center refresh, the
+    M-step of a distributed k-means): per batch ONE (label -> sum
+    vector, count) partial via a grouped matrix add, partials folded
+    on the driver (labels x d floats — constant). Long (label, dim,
+    val) output so the SQL mirror is plain 1-based list indexing.
+    float64 accumulation: summation-order drift is ~1e-15, far inside
+    the 6-dp compare."""
+    from .simsearch import _matrix
+
+    ds = _rp(sf_dir, "embeddings", ["label", "embedding"])
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64"),
+                                 "vsum": pd.Series([], dtype="object")})
+        m = _matrix(t["embedding"], np.float64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        acc = np.zeros((len(ul), m.shape[1]), dtype=np.float64)
+        np.add.at(acc, inv, m)
+        cnt = np.bincount(inv)
+        return pd.DataFrame({"label": ul, "cnt": cnt,
+                             "vsum": [row for row in acc]})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    rows = []
+    for lab, sub in parts.groupby("label"):
+        vsum = np.sum(np.stack(sub["vsum"].to_numpy()), axis=0)
+        c = int(sub["cnt"].sum())
+        cen = vsum / c
+        for i, v in enumerate(cen, start=1):
+            rows.append((int(lab), i, round(float(v), 6)))
+    return pd.DataFrame(rows, columns=["label", "dim", "val"])
+
+
+QUERIES["embed_label_centroids"] = embed_label_centroids
+
+
+def embed_quantize_int8(sf_dir: str) -> pd.DataFrame:
+    """Symmetric int8 quantization of the embedding column (the
+    vector-compression step before an ANN index ships to disk):
+    per-vector scale = max |x|, q = floor(127 x / scale + 0.5). All
+    arithmetic is float64 over the same float32 inputs on both sides
+    of the oracle, and floor(+0.5) sidesteps the banker's-rounding /
+    half-away divergence between numpy and SQL ROUND — q is
+    integer-exact deterministic. Pure vectorized map, no exchange."""
+    from .simsearch import _matrix
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "dim": pd.Series([], dtype="int64"),
+                                 "q": pd.Series([], dtype="int64")})
+        m = _matrix(t["embedding"], np.float64)
+        n, d = m.shape
+        scale = np.abs(m).max(axis=1)
+        safe = np.where(scale == 0, 1.0, scale)
+        q = np.floor(127.0 * m / safe[:, None] + 0.5).astype(np.int64)
+        q[scale == 0] = 0
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "vec_id": np.repeat(vid, d),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), n),
+            "q": q.ravel(),
+        })
+
+    out = (ds.map_batches(quant, batch_format="pyarrow").to_pandas()
+           .sort_values(["vec_id", "dim"]).reset_index(drop=True))
+    return out
+
+
+QUERIES["embed_quantize_int8"] = embed_quantize_int8
