@@ -1073,6 +1073,16 @@ def oracle_sql() -> dict[str, str]:
                 > ((CAST(c.cw AS BIGINT) - c.n_chars)
                    // GREATEST(s.step, 1))
             ORDER BY c.doc_id""",
+        # per-doc token-distribution entropy (quality signal); DuckDB
+        # entropy() is Shannon log2, same formula as the engine
+        "docs_token_entropy": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '[A-Za-z]+')) AS tok
+                FROM documents)
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   ROUND(entropy(tok), 6) AS token_entropy
+            FROM t GROUP BY doc_id ORDER BY doc_id""",
         # per-label embedding centroid, long (label, dim, val) form;
         # DuckDB list indexing is 1-based like the engine's dim column
         "embed_label_centroids": """

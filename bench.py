@@ -135,7 +135,7 @@ def run_bench() -> dict:
         "events_global_sort", "docs_systematic_sample",
         "events_compact_latest", "docs_incremental_dedup",
         "events_heavy_users_sketch", "embed_label_centroids",
-        "embed_quantize_int8",
+        "embed_quantize_int8", "docs_token_entropy",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

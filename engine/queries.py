@@ -3814,3 +3814,46 @@ def embed_quantize_int8(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["embed_quantize_int8"] = embed_quantize_int8
+
+
+def docs_token_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-doc Shannon entropy (log2) of the token distribution — the
+    repetitiveness / gibberish quality signal (low entropy = boiler-
+    plate or keyword stuffing, the filter CCNet/Gopher-style cleaning
+    stacks apply next to the perplexity score). Docs never split
+    across batches, so this is a PURE MAP: per batch one exploded
+    (doc, token) count frame, entropy via grouped vectorized
+    c*log2(c) — no exchange, no per-row Python. Mirrors DuckDB's
+    entropy() aggregate bit-close (float64 both sides, 6-dp compare).
+    Zero-token docs are excluded on both sides."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def ent(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(r"[A-Za-z]+")
+        lens = toks.str.len().fillna(0).astype(int).to_numpy()
+        if lens.sum() == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "token_entropy": pd.Series([], dtype="float64")})
+        doc = np.repeat(df["doc_id"].to_numpy(), lens)
+        flat = np.concatenate([t for t in toks.to_numpy() if len(t)])
+        cnt = (pd.DataFrame({"d": doc, "t": flat})
+               .groupby(["d", "t"], sort=True).size().reset_index(name="c"))
+        g = cnt.groupby("d", sort=True)
+        n = g["c"].sum()
+        clogc = (cnt["c"] * np.log2(cnt["c"])).groupby(
+            cnt["d"].to_numpy()).sum()
+        h = np.log2(n.to_numpy(dtype="float64")) - (
+            clogc.to_numpy() / n.to_numpy(dtype="float64"))
+        return pd.DataFrame({
+            "doc_id": n.index.to_numpy(dtype="int64"),
+            "n_tokens": n.to_numpy(dtype="int64"),
+            "token_entropy": np.round(h, 6)})
+
+    out = (ds.map_batches(ent, batch_format="pandas").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    return out
+
+
+QUERIES["docs_token_entropy"] = docs_token_entropy
