@@ -1073,6 +1073,21 @@ def oracle_sql() -> dict[str, str]:
                 > ((CAST(c.cw AS BIGINT) - c.n_chars)
                    // GREATEST(s.step, 1))
             ORDER BY c.doc_id""",
+        # schema-on-read over the props JSON string: regexp mirror of
+        # the engine's vectorized extract (json_extract agrees but the
+        # regexp keeps malformed-row semantics identical)
+        "events_props_stats": """
+            WITH p AS (
+                SELECT event_type,
+                       TRY_CAST(regexp_extract(props,
+                           '"k"\\s*:\\s*(-?\\d+)', 1) AS BIGINT) AS k
+                FROM events)
+            SELECT event_type, COUNT(*) AS n,
+                   COUNT(*) - COUNT(k) AS n_null,
+                   CAST(COALESCE(SUM(k), 0) AS BIGINT) AS k_sum,
+                   MIN(k) AS k_min, MAX(k) AS k_max,
+                   ROUND(SUM(k) * 1.0 / COUNT(k), 6) AS k_mean
+            FROM p GROUP BY event_type ORDER BY event_type""",
         # per-doc token-distribution entropy (quality signal); DuckDB
         # entropy() is Shannon log2, same formula as the engine
         "docs_token_entropy": """

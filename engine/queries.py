@@ -3857,3 +3857,37 @@ def docs_token_entropy(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["docs_token_entropy"] = docs_token_entropy
+
+
+def events_props_stats(sf_dir: str) -> pd.DataFrame:
+    """Schema-on-read over the semi-structured `props` JSON string
+    column: extract the integer field k with ONE compiled vectorized
+    regex per batch (no per-row json.loads — the parse is the hot
+    loop at corpus scale) and aggregate per event type. Missing /
+    malformed props count separately (n_null) instead of poisoning
+    the sums. Bounded group key -> native per-batch combiner +
+    driver-sized final fold."""
+    ds = _rp(sf_dir, "events", ["event_type", "props"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+        kn = pd.to_numeric(k, errors="coerce")
+        g = pd.DataFrame({"event_type": df["event_type"], "k": kn})
+        agg = g.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), n_null=("k", lambda s: int(s.isna().sum())),
+            k_sum=("k", "sum"), k_min=("k", "min"), k_max=("k", "max"))
+        return agg
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), n_null=("n_null", "sum"), k_sum=("k_sum", "sum"),
+        k_min=("k_min", "min"), k_max=("k_max", "max"))
+    out["k_mean"] = (out["k_sum"] / (out["n"] - out["n_null"])).round(6)
+    for c in ("n", "n_null", "k_sum", "k_min", "k_max"):
+        out[c] = out[c].astype("int64")
+    return (out[["event_type", "n", "n_null", "k_sum", "k_min",
+                 "k_max", "k_mean"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+QUERIES["events_props_stats"] = events_props_stats
