@@ -286,6 +286,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o   ON o.o_custkey   = c.c_custkey
             JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        # q10 analog: ORDER + tiebreak on the INTEGER unit sum so
+        # 2-dec rounding can never reorder the top-k boundary
+        "q10_returned_customers": f"""
+            WITH rev AS (
+                SELECT o.o_custkey AS c_custkey, SUM({_REVU}) AS u
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE l.l_returnflag = 'R'
+                GROUP BY 1)
+            SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2)
+                       AS c_acctbal,
+                   n.n_name,
+                   CAST((rev.u + 50) // 100 AS DOUBLE) / 100 AS revenue
+            FROM rev
+            JOIN customer c ON c.c_custkey = rev.c_custkey
+            JOIN nation n   ON n.n_nationkey = c.c_nationkey
+            ORDER BY rev.u DESC, c.c_custkey LIMIT 20""",
         "top_suppliers": f"""
             SELECT l.l_suppkey AS s_suppkey, s.s_name,
                    {_REVU_2DEC} AS revenue,

@@ -3891,3 +3891,114 @@ def events_props_stats(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["events_props_stats"] = events_props_stats
+
+
+def q10_returned_customers(sf_dir: str, k: int = 20,
+                           small_threshold: int = 5_000_000
+                           ) -> pd.DataFrame:
+    """TPC-H Q10 analog: top-k customers by revenue from RETURNED
+    items (l_returnflag='R'), enriched with customer + nation names —
+    the chained multi-join report shape. Scale plan: filtered lineitem
+    streams one fused per-batch partial (orderkey -> custkey attach
+    via broadcast sorted arrays when orders is driver-sized, packed
+    bucket join above — q5's two-path idiom), exact integer revenue
+    units fold per custkey through grouped_sum, per-block top-k
+    partials (k rows per block, never the custkey space) merged on the
+    driver, and only the k survivors' customer rows are fetched for
+    enrichment. Ordering and tiebreak are on the INTEGER unit sum
+    (revenue desc, custkey asc) so rounding can never reorder."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .joins import bucket_join
+    from .pathlog import note
+    from .shuffle import grouped_sum
+
+    n_orders = _tbl_rows(sf_dir, "orders")
+    li = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount",
+              "l_returnflag"])
+
+    if n_orders is not None and n_orders <= small_threshold:
+        note("q10", "fused_broadcast", n_orders=n_orders)
+        omap = (pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_orderkey", "o_custkey"])
+                .to_pandas().sort_values("o_orderkey"))
+        okeys = np.ascontiguousarray(omap["o_orderkey"].to_numpy(np.int64))
+        ocust = np.ascontiguousarray(omap["o_custkey"].to_numpy(np.int64))
+        ref = ray.put((okeys, ocust))
+
+        def fused(t: pa.Table, ref=ref) -> pd.DataFrame:
+            df = t.to_pandas()
+            df = df[df["l_returnflag"] == "R"]
+            if df.empty:
+                return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                                     "u": pd.Series([], dtype="int64")})
+            ok, oc = ray.get(ref)
+            lk = df["l_orderkey"].to_numpy(np.int64)
+            pos = np.searchsorted(ok, lk)
+            if not np.array_equal(ok[np.minimum(pos, len(ok) - 1)], lk):
+                raise ValueError(
+                    "q10: lineitem orderkey absent from the orders map "
+                    "(FK invariant violated)")
+            df = df.assign(
+                c_custkey=oc[pos],
+                u=_rev_units(df["l_extendedprice"], df["l_discount"]))
+            return df.groupby("c_custkey", as_index=False)["u"].sum()
+
+        partials = li.map_batches(fused, batch_format="pyarrow")
+    else:
+        note("q10", "bucket_join", n_orders=n_orders)
+
+        def li_part(t: pa.Table) -> pd.DataFrame:
+            df = t.to_pandas()
+            df = df[df["l_returnflag"] == "R"]
+            if df.empty:
+                return pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                                     "u": pd.Series([], dtype="int64")})
+            df = df.assign(u=_rev_units(df["l_extendedprice"],
+                                        df["l_discount"]))
+            return df.groupby("l_orderkey", as_index=False)["u"].sum()
+
+        orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        orders = orders.map_batches(
+            lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+            batch_format="pandas")
+        joined = bucket_join(li.map_batches(li_part, batch_format="pyarrow"),
+                             orders, on="l_orderkey", rows_hint=n_orders)
+        partials = joined.map_batches(
+            lambda df: (df.rename(columns={"o_custkey": "c_custkey"})
+                        .groupby("c_custkey", as_index=False)["u"].sum()),
+            batch_format="pandas")
+
+    per_cust = grouped_sum(partials, "c_custkey", "u",
+                           rows_hint=_tbl_rows(sf_dir, "customer"))
+
+    def block_topk(df: pd.DataFrame, k=k) -> pd.DataFrame:
+        return df.sort_values(["u", "c_custkey"],
+                              ascending=[False, True]).head(k)
+
+    cand = (per_cust.map_batches(block_topk, batch_format="pandas")
+            .to_pandas())
+    top = (cand.groupby("c_custkey", as_index=False)["u"].sum()
+           .sort_values(["u", "c_custkey"], ascending=[False, True])
+           .head(k))
+
+    cust = (pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_name", "c_acctbal",
+                                   "c_nationkey"])
+            .to_pandas())
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    out = (top.merge(cust, on="c_custkey")
+           .merge(nation, left_on="c_nationkey", right_on="n_nationkey"))
+    out = out.sort_values(["u", "c_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    out["revenue"] = _units_2dec(out["u"])
+    out["c_acctbal"] = out["c_acctbal"].round(2)
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out[["c_custkey", "c_name", "c_acctbal", "n_name", "revenue"]]
+
+
+QUERIES["q10_returned_customers"] = q10_returned_customers

@@ -105,3 +105,15 @@ def test_orders_left_lineitem_distributed_branch_matches(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_q10_distributed_branch_matches(ray_session):
+    """small_threshold=0 forces the packed bucket-join branch of q10;
+    result must equal the fused broadcast path (and the oracle)."""
+    from engine.queries import q10_returned_customers
+
+    fast = q10_returned_customers(SF_DIR)
+    dist = q10_returned_customers(SF_DIR, small_threshold=0)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(fast, dist)
