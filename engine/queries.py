@@ -3595,11 +3595,13 @@ def events_compact_latest(sf_dir: str) -> pd.DataFrame:
              ["user_id", "event_type", "event_id", "ts", "value"])
 
     def reduce_frame(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.sort_values(["user_id", "event_type", "ts_ms", "event_id"])
+        # arg-max on FULL microsecond ts (the oracle's ORDER BY ts) —
+        # ms truncation here would tie-break sub-ms pairs differently
+        d = df.sort_values(["user_id", "event_type", "ts_us", "event_id"])
         return d.groupby(["user_id", "event_type"], as_index=False).tail(1)
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(ts_ms=df["ts"].astype("datetime64[ms]")
+        df = df.assign(ts_us=df["ts"].astype("datetime64[us]")
                        .astype("int64")).drop(columns="ts")
         return reduce_frame(df)
 
@@ -3611,6 +3613,7 @@ def events_compact_latest(sf_dir: str) -> pd.DataFrame:
         .sort_values(["user_id", "event_type"])
         .reset_index(drop=True)
     )
+    out["ts_ms"] = out["ts_us"] // 1000
     for col in ("user_id", "event_id", "ts_ms"):
         out[col] = out[col].astype("int64")
     out["value"] = out["value"].round(6)
@@ -3637,13 +3640,22 @@ def docs_incremental_dedup(sf_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     from .joins import bucket_join
+    from .pathlog import note
     from .shuffle import grouped_fold
 
     # shard cut from footer COLUMN STATISTICS (metadata only)
-    meta = pq.read_metadata(os.path.join(sf_dir, "documents.parquet"))
+    path = os.path.join(sf_dir, "documents.parquet")
+    meta = pq.read_metadata(path)
     ci = meta.schema.names.index("doc_id")
-    max_id = max(meta.row_group(i).column(ci).statistics.max
-                 for i in range(meta.num_row_groups))
+    stats = [meta.row_group(i).column(ci).statistics
+             for i in range(meta.num_row_groups)]
+    if stats and all(s is not None and s.has_min_max for s in stats):
+        max_id = max(s.max for s in stats)
+    else:
+        # writer disabled column statistics: one pruned-column scan
+        note("docs_incremental_dedup", "max_scan_fallback")
+        max_id = int(pc.max(
+            pq.read_table(path, columns=["doc_id"])["doc_id"]).as_py())
     cut = int(0.8 * (max_id + 1))
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
@@ -3723,9 +3735,10 @@ def events_heavy_users_sketch(sf_dir: str, capacity: int = 4096,
               .groupby("user_id", as_index=False)["cnt"].sum())
     merged, d2 = _mg_trim(merged, capacity)
     err += d2
-    top = merged.nlargest(k, ["cnt", "user_id"]).copy()
-    top = top.sort_values(["cnt", "user_id"],
-                          ascending=[False, True]).head(k)
+    # boundary ties keep the SMALLEST user_id, consistent with the
+    # ascending display order (nlargest would prefer the largest)
+    top = merged.sort_values(["cnt", "user_id"],
+                             ascending=[False, True]).head(k).copy()
     out = pd.DataFrame({
         "user_id": top["user_id"].to_numpy(dtype="int64"),
         "lb_count": top["cnt"].to_numpy(dtype="int64"),
@@ -3883,8 +3896,12 @@ def events_props_stats(sf_dir: str) -> pd.DataFrame:
         n=("n", "sum"), n_null=("n_null", "sum"), k_sum=("k_sum", "sum"),
         k_min=("k_min", "min"), k_max=("k_max", "max"))
     out["k_mean"] = (out["k_sum"] / (out["n"] - out["n_null"])).round(6)
-    for c in ("n", "n_null", "k_sum", "k_min", "k_max"):
+    for c in ("n", "n_null", "k_sum"):
         out[c] = out[c].astype("int64")
+    for c in ("k_min", "k_max"):
+        # nullable Int64: an all-null group has NULL MIN/MAX in the
+        # oracle; a plain int64 cast would raise on the NaN
+        out[c] = out[c].astype("Int64")
     return (out[["event_type", "n", "n_null", "k_sum", "k_min",
                  "k_max", "k_mean"]]
             .sort_values("event_type").reset_index(drop=True))
@@ -3936,6 +3953,13 @@ def q10_returned_customers(sf_dir: str, k: int = 20,
                                      "u": pd.Series([], dtype="int64")})
             ok, oc = ray.get(ref)
             lk = df["l_orderkey"].to_numpy(np.int64)
+            if len(ok) == 0:
+                # empty orders with surviving lineitem rows: the FK
+                # invariant is violated outright (and ok[pos] below
+                # would IndexError on the empty array)
+                raise ValueError(
+                    "q10: lineitem orderkey absent from the orders map "
+                    "(FK invariant violated)")
             pos = np.searchsorted(ok, lk)
             if not np.array_equal(ok[np.minimum(pos, len(ok) - 1)], lk):
                 raise ValueError(
