@@ -10,6 +10,7 @@ the driver's value-hash comparison is stable across summation orders.
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -3480,8 +3481,13 @@ def events_user_hll(sf_dir: str) -> pd.DataFrame:
     batch: splitmix64 the user ids, max-fold register values per
     event type (vectorized np.maximum.at); partials are one
     16384-byte register row per (type, batch) — constant per batch —
-    merged by np.maximum on the driver. Rows-only (no bit-exact SQL
-    mirror); accuracy vs the exact count is pinned by a unit test."""
+    merged by np.maximum on the driver. ORACLED bit-exactly: register
+    max is associative so the merged registers equal a global per-
+    (type, reg) MAX regardless of batch boundaries, and the estimator
+    is evaluated in a canonical op order (ascending-rho register
+    histogram accumulation, libm log, FLOOR(+0.5)) mirrored term for
+    term by the splitmix64 HUGEINT CTE in __ray_entry__.oracle_sql;
+    accuracy vs the exact count is further pinned by a unit test."""
     P = 14
     M = 1 << P
 
@@ -3517,11 +3523,22 @@ def events_user_hll(sf_dir: str) -> pd.DataFrame:
     for t, sub in parts.groupby("event_type"):
         regs = np.maximum.reduce(
             [np.frombuffer(b, dtype=np.uint8) for b in sub["regs"]])
-        est = alpha * M * M / np.sum(np.power(2.0, -regs.astype(np.float64)))
-        zeros = int((regs == 0).sum())
+        # canonical estimator evaluation, mirrored op-for-op by the
+        # SQL oracle: histogram the registers, accumulate c*2^-rho in
+        # ascending rho (each term exact: power-of-two scaling of a
+        # <=14-bit integer), zeros added as one leading float term
+        cnt = np.bincount(regs, minlength=52)
+        zeros = int(cnt[0])
+        sp = 0.0
+        for r in range(1, 52):
+            if cnt[r]:
+                sp += float(cnt[r]) * 2.0 ** (-r)
+        est = alpha * M * M / (float(zeros) + sp)
         if est <= 2.5 * M and zeros:
-            est = M * np.log(M / zeros)  # linear-counting small range
-        rows.append({"event_type": t, "est_users": int(round(est))})
+            # libm log (math.log), matching the oracle's ln()
+            est = M * math.log(M / zeros)  # linear-counting small range
+        rows.append({"event_type": t,
+                     "est_users": int(math.floor(est + 0.5))})
     return (pd.DataFrame(rows).sort_values("event_type")
             .reset_index(drop=True))
 
@@ -3700,20 +3717,14 @@ def _mg_trim(df: pd.DataFrame, capacity: int) -> tuple[pd.DataFrame, int]:
     return out, d
 
 
-def events_heavy_users_sketch(sf_dir: str, capacity: int = 4096,
-                              k: int = 20) -> pd.DataFrame:
-    """Approximate heavy hitters — top users by event count — via
-    mergeable Misra-Gries summaries: per batch an EXACT value_counts
-    trimmed to `capacity` counters, partials merged on the driver
-    (sum counters, re-trim — same constant-size-partial shape as the
-    HLL). Every emitted row carries its guaranteed bounds:
-    lb = surviving counter, ub = lb + total subtracted mass. The
-    100-TB replacement for an exact per-user fold when only the
-    extreme tail matters: the exchange carries `capacity` rows per
-    batch, never the key space. Rows-only (approximate by design);
-    the no-false-dismissal guarantee and the error bound are pinned
-    by a zipf-skew unit test."""
-    ds = _rp(sf_dir, "events", ["user_id"])
+def _mg_candidates(ds, capacity: int) -> tuple[pd.DataFrame, int]:
+    """Misra-Gries candidate pass: per batch an EXACT value_counts
+    trimmed to `capacity` counters (constant-size mergeable partials,
+    same shape as the HLL registers), merged on the driver (sum
+    counters, re-trim). Returns (surviving counters, err) where err is
+    the total subtracted trim mass — the mergeable-summaries bound
+    (Agarwal et al.): any key ABSENT from the survivors has true count
+    <= err, and every survivor's count underestimates by <= err."""
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
         g = (df.groupby("user_id", as_index=False).size()
@@ -3734,17 +3745,77 @@ def events_heavy_users_sketch(sf_dir: str, capacity: int = 4096,
     merged = (parts[parts["user_id"] >= 0]
               .groupby("user_id", as_index=False)["cnt"].sum())
     merged, d2 = _mg_trim(merged, capacity)
-    err += d2
-    # boundary ties keep the SMALLEST user_id, consistent with the
-    # ascending display order (nlargest would prefer the largest)
-    top = merged.sort_values(["cnt", "user_id"],
-                             ascending=[False, True]).head(k).copy()
-    out = pd.DataFrame({
-        "user_id": top["user_id"].to_numpy(dtype="int64"),
-        "lb_count": top["cnt"].to_numpy(dtype="int64"),
-        "ub_count": (top["cnt"] + err).to_numpy(dtype="int64"),
-    })
-    return out.reset_index(drop=True)
+    return merged, err + d2
+
+
+def events_heavy_users_sketch(sf_dir: str, capacity: int = 4096,
+                              k: int = 20) -> pd.DataFrame:
+    """EXACT heavy hitters at sketch cost — top-k users by event count
+    via the two-pass production shape: (1) a Misra-Gries candidate
+    sweep whose exchange carries `capacity` rows per batch, never the
+    user_id key space; (2) an exact recount of ONLY the <=capacity
+    candidate keys (sorted-array broadcast filter). If the k-th
+    candidate's exact count exceeds the MG error bound, no dropped key
+    can reach the top-k (mergeable-summaries guarantee), so the output
+    is PROVABLY the exact top-k — which is why this is oracled by
+    plain SQL despite the sketch core. When the guarantee fails
+    (capacity too small for the skew) it falls back to the exact
+    per-key fold; both branches pathlog'd and forced in tests."""
+    import ray
+
+    from .pathlog import note
+    from .shuffle import grouped_sum
+
+    ds = _rp(sf_dir, "events", ["user_id"])
+    merged, err = _mg_candidates(ds, capacity)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        # boundary ties keep the SMALLEST user_id, consistent with
+        # the display order
+        t = df.sort_values(["cnt", "user_id"],
+                           ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(dtype="int64"),
+            "cnt": t["cnt"].to_numpy(dtype="int64"),
+        }).reset_index(drop=True)
+
+    exact = pd.DataFrame({"user_id": [], "cnt": []})
+    if len(merged):
+        keys = np.sort(merged["user_id"].to_numpy(np.int64))
+        ref = ray.put(keys)
+
+        def recount(df: pd.DataFrame, ref=ref) -> pd.DataFrame:
+            ks = ray.get(ref)
+            u = df["user_id"].to_numpy(np.int64)
+            pos = np.minimum(np.searchsorted(ks, u), len(ks) - 1)
+            sel = u[ks[pos] == u]
+            uu, cc = np.unique(sel, return_counts=True)
+            return pd.DataFrame({"user_id": uu, "cnt": cc})
+
+        parts = ds.map_batches(recount, batch_format="pandas").to_pandas()
+        exact = parts.groupby("user_id", as_index=False)["cnt"].sum()
+
+    kth = int(exact["cnt"].nlargest(k).min()) if len(exact) >= k else 0
+    if len(exact) >= k and kth > err:
+        note("heavy_users_sketch", "sketch_verified",
+             err=err, kth=kth, candidates=len(exact))
+        return topk(exact)
+
+    # guarantee failed (or fewer candidates than k): exact fold over
+    # the full key space — correctness never depends on the sketch
+    note("heavy_users_sketch", "exact_fallback",
+         err=err, kth=kth, candidates=len(exact))
+    full = grouped_sum(
+        ds.map_batches(
+            lambda df: df.groupby("user_id", as_index=False)
+            .size().rename(columns={"size": "cnt"}),
+            batch_format="pandas"),
+        "user_id", "cnt", rows_hint=_tbl_rows(sf_dir, "events"))
+    cand = (full.map_batches(
+        lambda df: df.sort_values(["cnt", "user_id"],
+                                  ascending=[False, True]).head(k),
+        batch_format="pandas").to_pandas())
+    return topk(cand)
 
 
 QUERIES["events_heavy_users_sketch"] = events_heavy_users_sketch

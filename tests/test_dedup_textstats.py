@@ -330,15 +330,21 @@ def test_splitmix64_dispersion():
 
 
 def test_mg_heavy_hitters_guarantees(ray_session, tmp_path):
-    """Misra-Gries sketch on a zipf-skewed synthetic events table:
-    (a) the true top hitters all appear with lb <= true <= ub,
-    (b) the error bound is honest (ub - lb == accumulated trim mass),
-    (c) with capacity >= distinct keys the counts are exact."""
+    """Two-pass heavy hitters on a zipf-skewed synthetic events table:
+    (a) with a capacity where per-batch trims DO occur, the sketch-
+    verified path still returns the EXACT top-k (candidates recounted
+    exactly; kth > err proves no dropped key can reach the top-k),
+    (b) the MG candidate pass's error bound is honest (survivor
+    counters underestimate by <= err),
+    (c) a capacity too small for the skew forces the pathlog'd
+    exact-fallback branch, and the result is identical."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from engine.queries import events_heavy_users_sketch
+    from engine import pathlog
+    from engine.queries import (_mg_candidates, _rp,
+                                events_heavy_users_sketch)
 
     rng = np.random.default_rng(21)
     # zipf over 30k keys, 300k rows: a handful of keys dominate
@@ -356,22 +362,29 @@ def test_mg_heavy_hitters_guarantees(ray_session, tmp_path):
     pq.write_table(tbl, tmp_path / "events.parquet")
 
     true = pd.Series(uid).value_counts()
-    got = events_heavy_users_sketch(str(tmp_path), capacity=1024, k=10)
-    err = int((got["ub_count"] - got["lb_count"]).iloc[0])
-    # every true top-5 key must be reported (no false dismissal for
-    # counts far above the bound) with honest bounds
-    top5 = set(true.index[:5])
-    reported = dict(zip(got["user_id"], zip(got["lb_count"],
-                                            got["ub_count"])))
-    for key in top5:
-        assert true[key] > err  # premise: genuinely heavy
-        assert key in reported, (key, true[key], err)
-        lb, ub = reported[key]
-        assert lb <= true[key] <= ub, (key, lb, true[key], ub)
+    want = (true.rename_axis("user_id").reset_index(name="cnt")
+            .sort_values(["cnt", "user_id"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
 
-    # exactness when capacity exceeds the key space
-    exact = events_heavy_users_sketch(str(tmp_path), capacity=64_000,
-                                      k=10)
-    assert (exact["lb_count"] == exact["ub_count"]).all()
-    for _, row in exact.iterrows():
-        assert true[row.user_id] == row.lb_count
+    pathlog.reset()
+    got = events_heavy_users_sketch(str(tmp_path), capacity=1024, k=10)
+    assert pathlog.count("heavy_users_sketch", "sketch_verified") == 1
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"))
+
+    # (b) honest MG bound: every survivor underestimates by <= err,
+    # and trims genuinely happened at this capacity (err > 0)
+    merged, err = _mg_candidates(
+        _rp(str(tmp_path), "events", ["user_id"]), 1024)
+    assert err > 0
+    for _, row in merged.iterrows():
+        t = int(true[row.user_id])
+        assert row.cnt <= t <= row.cnt + err, (row.user_id, row.cnt,
+                                               t, err)
+
+    # (c) capacity far below the skew: guarantee fails, exact
+    # fallback branch runs, result unchanged
+    pathlog.reset()
+    fb = events_heavy_users_sketch(str(tmp_path), capacity=4, k=10)
+    assert pathlog.count("heavy_users_sketch", "exact_fallback") == 1
+    pd.testing.assert_frame_equal(fb.astype("int64"), want.astype("int64"))
