@@ -1,0 +1,325 @@
+"""Columnar pack format + columnar linking-walk resolver for the
+conversation-reassembly exchange (the flagship's one shuffle).
+
+Replaces the v1 payload (zlib-1 over a pickle of per-turn Python
+tuples) with a columnar layout: dictionary-encoded surfaces / labels /
+predicates / conv ids plus flat numpy arrays, CSR-style counts for the
+variable-length mention and relation lists. Why: at the 32.7M-turn
+tier the resolve stage spent more CPU UN-PICKLING tuple objects
+(~6.8 us/turn) than running the linking walk itself (~2 us/turn), and
+emitted its output through ``pa.Table.from_pylist`` dict rows.
+Measured on a 39k-turn bucket set: resolve 3.7x faster (triples) /
+4.8x faster (entities) with byte-identical output tables, payloads
+1.15x smaller on the wire (the object-store-bound exchange), pack-side
+cost +~0.6 us/turn.
+
+The order-dependent linking walk (engine.kgflow.resolve_entries is the
+reference implementation the oracle runs — tests assert literal
+equality) stays a sequential loop, but over precomputed per-surface
+resolution arrays: ~95% of mentions are unambiguous (nil or single
+candidate) and reduce to one list index + at most one dict insert;
+only multi-candidate aliases run the seen-dict scan.
+
+Payloads are versioned by their first byte (v2 = 0x02; v1 zlib
+streams start with 0x78), so a resolver can fall back to the tuple
+path if it ever sees a foreign payload.
+"""
+
+from __future__ import annotations
+
+import pickle
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SEP = "\x1f"
+MAGIC = b"\x02"
+
+
+def _enc_strs(strs: list[str]):
+    """Joined-string dictionary encoding, with a pickled-list escape
+    hatch when a member contains the separator (arbitrary input text
+    can: surfaces come from user corpora)."""
+    if any(_SEP in s for s in strs):
+        return ("l", strs)
+    return ("j", _SEP.join(strs))
+
+
+def _dec_strs(enc) -> list[str]:
+    tag, v = enc
+    if tag == "l":
+        return v
+    return v.split(_SEP) if v else []
+
+
+def pack_entries(entries: list[tuple]) -> bytes:
+    """Columnar v2 payload for one (batch, bucket) entry list.
+    ``entries``: [(conv_id, turn_idx, sent_id, mentions, rels)] in the
+    exact tuple format of engine.kgflow.resolve_entries."""
+    n = len(entries)
+    conv = pa.array([e[0] for e in entries], pa.string()).dictionary_encode()
+    tix = np.fromiter((e[1] for e in entries), np.int32, n)
+    sid = np.fromiter((e[2] for e in entries), np.int64, n)
+    mcnt = np.fromiter((len(e[3]) for e in entries), np.int32, n)
+    rcnt = np.fromiter((len(e[4]) for e in entries), np.int32, n)
+
+    allm = [m for e in entries for m in e[3]]
+    nm = len(allm)
+    se = pa.array([m[0] for m in allm], pa.string()).dictionary_encode()
+    le = pa.array([m[1] for m in allm], pa.string()).dictionary_encode()
+    st = np.fromiter((m[2] for m in allm), np.int32, nm)
+    en = np.fromiter((m[3] for m in allm), np.int32, nm)
+    occ = np.fromiter((m[4] for m in allm), np.int32, nm)
+
+    allr = [r for e in entries for r in e[4]]
+    nr = len(allr)
+    ri = np.fromiter((r[0] for r in allr), np.int32, nr)
+    rj = np.fromiter((r[2] for r in allr), np.int32, nr)
+    pe = pa.array([r[1] for r in allr], pa.string()).dictionary_encode()
+
+    blob = pickle.dumps(
+        (
+            conv.indices.to_numpy(zero_copy_only=False).astype(np.int32),
+            _enc_strs(conv.dictionary.to_pylist()),
+            tix, sid, mcnt, rcnt,
+            se.indices.to_numpy(zero_copy_only=False).astype(np.int32),
+            _enc_strs(se.dictionary.to_pylist()),
+            le.indices.to_numpy(zero_copy_only=False).astype(np.int8),
+            _enc_strs(le.dictionary.to_pylist()),
+            st, en, occ,
+            ri, rj,
+            pe.indices.to_numpy(zero_copy_only=False).astype(np.int8),
+            _enc_strs(pe.dictionary.to_pylist()),
+        ),
+        protocol=5,
+    )
+    return MAGIC + zlib.compress(blob, 1)
+
+
+def unpack_entries(payload: bytes) -> list[tuple]:
+    """Decode ANY payload version back to resolve_entries tuples (the
+    compatibility / reference path; the hot path never calls this)."""
+    if not payload.startswith(MAGIC):
+        return pickle.loads(zlib.decompress(payload))
+    (cc, uc, tix, sid, mcnt, rcnt, sc, us, lc, ul, st, en, occ,
+     ri, rj, pcn, up) = pickle.loads(zlib.decompress(payload[1:]))
+    uconv = _dec_strs(uc)
+    usurf = _dec_strs(us)
+    ulab = _dec_strs(ul)
+    upred = _dec_strs(up)
+    out = []
+    mpos = rpos = 0
+    for i in range(len(tix)):
+        ments = [
+            (usurf[sc[mpos + k]], ulab[lc[mpos + k]], int(st[mpos + k]),
+             int(en[mpos + k]), int(occ[mpos + k]))
+            for k in range(int(mcnt[i]))
+        ]
+        mpos += int(mcnt[i])
+        rels = [
+            (int(ri[rpos + k]), upred[pcn[rpos + k]], int(rj[rpos + k]))
+            for k in range(int(rcnt[i]))
+        ]
+        rpos += int(rcnt[i])
+        out.append((uconv[cc[i]], int(tix[i]), int(sid[i]), ments, rels))
+    return out
+
+
+def _csr_gather(perm: np.ndarray, counts: np.ndarray, offsets: np.ndarray):
+    """Flat gather indices reordering CSR-packed variable-length groups
+    by an entry permutation. Returns (flat indices, permuted counts)."""
+    cp = counts[perm]
+    total = int(cp.sum())
+    if total == 0:
+        return np.empty(0, np.int64), cp
+    out_off = np.concatenate(([0], np.cumsum(cp)[:-1]))
+    idx = np.repeat(offsets[perm] - out_off, cp) + np.arange(total, dtype=np.int64)
+    return idx, cp
+
+
+# surface -> (kind, precomputed canon, candidate list); kind 0 = nil,
+# 1 = single candidate, 2 = ambiguous. Pure function of the constant
+# ALIAS_INDEX, so the memo is safely process-wide.
+_RESOLVE_MEMO: dict[str, tuple[int, str | None, list[str] | None]] = {}
+
+
+def _surface_resolution(s: str):
+    r = _RESOLVE_MEMO.get(s)
+    if r is None:
+        from .link import ALIAS_INDEX, nil_key
+
+        cands = ALIAS_INDEX.get(s.lower())
+        if not cands:
+            r = (0, nil_key(s), None)
+        elif len(cands) == 1:
+            r = (1, cands[0], None)
+        else:
+            r = (2, None, cands)
+        _RESOLVE_MEMO[s] = r
+    return r
+
+
+def resolve_payloads(payloads: list[bytes], emit: str,
+                     entity_schema: pa.Schema, triple_schema: pa.Schema,
+                     warn_entries: int | None = None) -> pa.Table:
+    """One conv-hash bucket: decode v2 payloads, lexsort entries by
+    (conv_id, turn_idx) — the in-group half of the reassembly contract
+    — and run the linking walk columnar. Semantics are LITERALLY those
+    of engine.kgflow.resolve_entries (tests assert table equality);
+    see that docstring for the walk's definition."""
+    conv_codes_l, tix_l, sid_l, mcnt_l, rcnt_l = [], [], [], [], []
+    surf_codes_l, lab_codes_l = [], []
+    st_l, en_l, ri_l, rj_l, pred_codes_l = [], [], [], [], []
+    usurf: list[str] = []
+    ulab: list[str] = []
+    upred: list[str] = []
+    uconv: list[str] = []
+    for p in payloads:
+        (cc, uc, tix, sid, mcnt, rcnt, sc, us, lc, ul, st, en, _occ,
+         ri, rj, pcn, up) = pickle.loads(zlib.decompress(p[1:]))
+        conv_codes_l.append(cc.astype(np.int64) + len(uconv))
+        uconv.extend(_dec_strs(uc))
+        tix_l.append(tix)
+        sid_l.append(sid)
+        mcnt_l.append(mcnt)
+        rcnt_l.append(rcnt)
+        surf_codes_l.append(sc.astype(np.int64) + len(usurf))
+        usurf.extend(_dec_strs(us))
+        lab_codes_l.append(lc.astype(np.int64) + len(ulab))
+        ulab.extend(_dec_strs(ul))
+        st_l.append(st)
+        en_l.append(en)
+        ri_l.append(ri)
+        rj_l.append(rj)
+        pred_codes_l.append(pcn.astype(np.int64) + len(upred))
+        upred.extend(_dec_strs(up))
+
+    conv_codes = np.concatenate(conv_codes_l)
+    tix = np.concatenate(tix_l)
+    sid = np.concatenate(sid_l)
+    mcnt = np.concatenate(mcnt_l).astype(np.int64)
+    rcnt = np.concatenate(rcnt_l).astype(np.int64)
+    surf_codes = np.concatenate(surf_codes_l)
+    lab_codes = np.concatenate(lab_codes_l)
+    st = np.concatenate(st_l)
+    ri = np.concatenate(ri_l)
+    rj = np.concatenate(rj_l)
+    pred_codes = np.concatenate(pred_codes_l)
+
+    n = len(tix)
+    if warn_entries is not None and n > warn_entries:
+        from . import pathlog
+
+        # skew surface (no silent caps): one conversation so large it
+        # inflates its bucket past the target is reported, not trimmed
+        pathlog.note("kg_pipeline", "oversized_bucket",
+                     turn_entries=n, target=warn_entries // 8)
+    uconv_a = np.array(uconv, dtype=np.str_)
+    conv_arr = uconv_a[conv_codes] if n else uconv_a[:0]
+    # stable lexsort == the v1 tuple sort: (conv_id, turn_idx) lead and
+    # are unique per entry, so later tuple fields never break a tie
+    perm = np.lexsort((tix, conv_arr))
+
+    moff = np.concatenate(([0], np.cumsum(mcnt)[:-1]))
+    roff = np.concatenate(([0], np.cumsum(rcnt)[:-1]))
+    midx, mcnt_s = _csr_gather(perm, mcnt, moff)
+    ridx, rcnt_s = _csr_gather(perm, rcnt, roff)
+
+    conv_s = conv_arr[perm]
+    tix_s = tix[perm]
+    sid_s = sid[perm]
+    surf_s = surf_codes[midx]
+    lab_s = lab_codes[midx]
+    st_s = st[midx]
+    rij_i = ri[ridx]
+    rij_j = rj[ridx]
+    pred_s = pred_codes[ridx]
+
+    ukind = [0] * len(usurf)
+    upre: list[str | None] = [None] * len(usurf)
+    ucands: list[list[str] | None] = [None] * len(usurf)
+    for i, s in enumerate(usurf):
+        k, pre, cands = _surface_resolution(s)
+        ukind[i] = k
+        upre[i] = pre
+        ucands[i] = cands
+
+    surf_codes_list = surf_s.tolist()
+    kinds = [ukind[c] for c in surf_codes_list]
+    pres = [upre[c] for c in surf_codes_list]
+
+    # conversation boundaries at mention granularity: reset `seen` at
+    # the first mention of each conv (order-dependent walk contract)
+    new_conv = np.ones(n, bool)
+    if n > 1:
+        new_conv[1:] = conv_s[1:] != conv_s[:-1]
+    breaks = set(
+        np.concatenate(([0], np.cumsum(mcnt_s)))[:-1][new_conv].tolist())
+
+    nm = len(kinds)
+    canons: list[str | None] = [None] * nm
+    seen: dict[str, int] = {}
+    seen_get = seen.get
+    for p in range(nm):
+        if p in breaks:
+            seen = {}
+            seen_get = seen.get
+        k = kinds[p]
+        if k == 1:
+            c = pres[p]
+            canons[p] = c
+            if c not in seen:
+                seen[c] = len(seen)
+        elif k == 0:
+            canons[p] = pres[p]
+        else:
+            cands = ucands[surf_codes_list[p]]
+            sc_ = [c for c in cands if c in seen]
+            canon = min(sc_, key=seen_get) if sc_ else cands[0]
+            if canon not in seen:
+                seen[canon] = len(seen)
+            canons[p] = canon
+
+    if emit == "entities":
+        sid_m = np.repeat(sid_s, mcnt_s)
+        mention_id = pc.binary_join_element_wise(
+            pc.cast(pa.array(sid_m), pa.string()),
+            pc.cast(pa.array(st_s.astype(np.int64)), pa.string()), ":")
+        score_map = np.array([0.0, 1.0, 0.9])
+        return pa.table(
+            {
+                "mention_id": mention_id,
+                "conv_id": pa.array(np.repeat(conv_s, mcnt_s)),
+                "turn_idx": pa.array(
+                    np.repeat(tix_s, mcnt_s).astype(np.int32)),
+                "surface": pa.array(
+                    [usurf[c] for c in surf_codes_list], pa.string()),
+                "label": pa.array(
+                    [ulab[c] for c in lab_s.tolist()], pa.string()),
+                "canon_id": pa.array(canons, pa.string()),
+                "score": pa.array(
+                    score_map[np.fromiter(kinds, np.int8, nm)]
+                    if nm else np.empty(0, np.float64)),
+            },
+            schema=entity_schema,
+        )
+
+    moff_s = np.concatenate(([0], np.cumsum(mcnt_s)[:-1]))
+    base = moff_s[np.repeat(np.arange(n), rcnt_s)]
+    subj_idx = base + rij_i
+    obj_idx = base + rij_j
+    return pa.table(
+        {
+            "subj": pa.array(
+                [canons[i] for i in subj_idx.tolist()], pa.string()),
+            "pred": pa.array(
+                [upred[c] for c in pred_s.tolist()], pa.string()),
+            "obj": pa.array(
+                [canons[i] for i in obj_idx.tolist()], pa.string()),
+            "conv_id": pa.array(np.repeat(conv_s, rcnt_s)),
+            "turn_idx": pa.array(np.repeat(tix_s, rcnt_s).astype(np.int32)),
+        },
+        schema=triple_schema,
+    )

@@ -270,14 +270,21 @@ def _resolve_bucket(group: pa.Table, emit: str) -> pa.Table:
     workers without changing its output. A pathological conversation
     therefore inflates exactly one bucket; it is surfaced via pathlog
     (no silent caps) rather than silently truncated."""
-    import pickle
-    import zlib
+    from . import colresolve
 
+    payloads = group["payload"].to_pylist()
+    if payloads and all(p.startswith(colresolve.MAGIC) for p in payloads):
+        return colresolve.resolve_payloads(
+            payloads, emit, _ENTITY_SCHEMA, TRIPLES,
+            warn_entries=8 * _TARGET_ROWS_PER_BUCKET)
+
+    # compatibility path (foreign / mixed payload versions): decode to
+    # tuples and run the reference walk
     from .kgflow import resolve_entries
 
     entries: list[tuple] = []
-    for payload in group["payload"].to_pylist():
-        entries.extend(pickle.loads(zlib.decompress(payload)))
+    for payload in payloads:
+        entries.extend(colresolve.unpack_entries(payload))
     if len(entries) > 8 * _TARGET_ROWS_PER_BUCKET:
         from . import pathlog
 

@@ -79,14 +79,117 @@ def test_extract_packs_drops_mention_free_turns():
         "text": ["Alice met Bob", "no entities here .", "Dana visited Paris"],
     })
     out = extract_packs(BatchKgExtractor(), batch, num_buckets=8)
-    import pickle
-    import zlib
+    from engine.colresolve import unpack_entries
 
     entries = [e for p in out["payload"].to_pylist()
-               for e in pickle.loads(zlib.decompress(p))]
+               for e in unpack_entries(p)]
     assert sorted((e[0], e[1]) for e in entries) == [("c1", 0), ("c2", 0)]
     for e in entries:
         assert e[3]  # mentions present
+
+
+def _entries_via_packs(texts, conv_ids, turn_idxs, num_buckets=4):
+    batch = pa.table({
+        "conv_id": pa.array(conv_ids, pa.string()),
+        "turn_idx": pa.array(turn_idxs, pa.int32()),
+        "text": pa.array(texts, pa.string()),
+    })
+    return extract_packs(BatchKgExtractor(), batch, num_buckets)
+
+
+def test_columnar_pack_roundtrip():
+    """pack_entries -> unpack_entries must be the identity on the entry
+    tuples, including separator-bearing conv ids (the escape hatch)."""
+    from engine.colresolve import pack_entries, unpack_entries
+
+    tbl = make_transcripts_local(60)
+    texts = tbl["text"].to_pylist() + EDGE_TEXTS
+    conv = tbl["conv_id"].to_pylist() + [f"e\x1fdge-{i}" for i in
+                                         range(len(EDGE_TEXTS))]
+    res = BatchKgExtractor().extract(texts)
+    entries = [(c, i, 1000 + i, m, r)
+               for i, (c, (m, r)) in enumerate(zip(conv, res)) if m]
+    assert unpack_entries(pack_entries(entries)) == entries
+
+
+def test_columnar_resolve_matches_reference_walk():
+    """The columnar bucket resolver must produce tables EQUAL to the
+    reference tuple walk (kgflow.resolve_entries + from_pylist) for
+    both emits, across multiple payloads per bucket and edge texts."""
+    from engine.colresolve import MAGIC, resolve_payloads, unpack_entries
+    from engine.kgflow import resolve_entries
+    from engine.pipeline import _ENTITY_SCHEMA
+    from engine.schema import TRIPLES
+
+    tbl = make_transcripts_local(300)
+    texts = tbl["text"].to_pylist()
+    conv = tbl["conv_id"].to_pylist()
+    tix = tbl["turn_idx"].to_pylist()
+    payloads = []
+    for k in range(0, len(texts), 1000):  # several payloads per bucket
+        out = _entries_via_packs(texts[k:k + 1000], conv[k:k + 1000],
+                                 tix[k:k + 1000], num_buckets=1)
+        payloads.extend(out["payload"].to_pylist())
+    assert payloads and all(p.startswith(MAGIC) for p in payloads)
+
+    entries = [e for p in payloads for e in unpack_entries(p)]
+    entries.sort()
+    for emit in ("triples", "entities"):
+        ents, tris = resolve_entries(entries,
+                                     emit_entities=emit == "entities")
+        want = pa.Table.from_pylist(
+            ents if emit == "entities" else tris,
+            schema=_ENTITY_SCHEMA if emit == "entities" else TRIPLES)
+        got = resolve_payloads(payloads, emit, _ENTITY_SCHEMA, TRIPLES)
+        assert got.equals(want), emit
+
+
+def test_resolve_bucket_legacy_payload_compat():
+    """_resolve_bucket must accept v1 (pickled-tuples) payloads and
+    mixed v1/v2 groups — the compatibility walk — with output equal to
+    the all-v2 fast path."""
+    import pickle
+    import zlib
+
+    from engine.colresolve import unpack_entries
+    from engine.pipeline import _resolve_bucket
+
+    tbl = make_transcripts_local(40)
+    out = _entries_via_packs(tbl["text"].to_pylist(),
+                             tbl["conv_id"].to_pylist(),
+                             tbl["turn_idx"].to_pylist(), num_buckets=1)
+    v2 = out["payload"].to_pylist()
+    entries_per = [unpack_entries(p) for p in v2]
+    v1 = [zlib.compress(pickle.dumps(e, protocol=5), 1)
+          for e in entries_per]
+
+    def grp(payloads):
+        return pa.table({
+            "bucket": pa.array([0] * len(payloads), pa.int32()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    fast = _resolve_bucket(grp(v2), "triples")
+    assert fast.num_rows > 0
+    assert _resolve_bucket(grp(v1), "triples").equals(fast)
+    assert _resolve_bucket(grp([v2[0]] + v1[1:]), "triples").equals(fast)
+
+
+def test_columnar_resolve_empty_and_relfree():
+    """Edge shapes: a payload whose entries have mentions but no
+    relations must yield an empty triples table with the right schema
+    (and a non-empty entities table)."""
+    from engine.colresolve import resolve_payloads
+    from engine.pipeline import _ENTITY_SCHEMA
+    from engine.schema import TRIPLES
+
+    out = _entries_via_packs(["Alice .", "Bob ."], ["c1", "c2"], [0, 0],
+                             num_buckets=1)
+    payloads = out["payload"].to_pylist()
+    tris = resolve_payloads(payloads, "triples", _ENTITY_SCHEMA, TRIPLES)
+    assert tris.num_rows == 0 and tris.schema.equals(TRIPLES)
+    ents = resolve_payloads(payloads, "entities", _ENTITY_SCHEMA, TRIPLES)
+    assert ents.num_rows == 2 and ents.schema.equals(_ENTITY_SCHEMA)
 
 
 def test_batch_mention_extractor_matches_reference_all_levels():
