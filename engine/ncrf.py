@@ -297,7 +297,8 @@ class SeededLinearEmissions:
 
 class TorchEmissions:  # pragma: no cover - torch absent in this env
     """Drop-in torch BiLSTM emission model for the same slot; gated on
-    torch availability (environment ships none)."""
+    torch availability (environment ships none). The torch-less path
+    for REAL NCRF++ checkpoints is NcrfCheckpointEmissions below."""
 
     def __init__(self, *a, **kw) -> None:
         try:
@@ -305,7 +306,179 @@ class TorchEmissions:  # pragma: no cover - torch absent in this env
         except ImportError as e:
             raise NotImplementedError(
                 "torch is not available in this environment; use "
-                "SeededLinearEmissions or install torch") from e
+                "NcrfCheckpointEmissions (pure-numpy NCRF++ forward) "
+                "or SeededLinearEmissions") from e
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def lstm_forward(x: np.ndarray, lengths: np.ndarray, w_ih: np.ndarray,
+                 w_hh: np.ndarray, b_ih: np.ndarray, b_hh: np.ndarray,
+                 reverse: bool = False) -> np.ndarray:
+    """One-direction LSTM over a padded batch, torch semantics: gate
+    order (i, f, g, o) in the stacked (4H, *) weights, c' = f*c + i*g,
+    h' = o*tanh(c'). ``reverse=True`` runs each sequence from its LAST
+    VALID position backward (pack_padded_sequence semantics — padding
+    never enters the recurrence in either direction). Returns
+    (B, S, H) with zeros at padded positions."""
+    B, S, _ = x.shape
+    H = w_hh.shape[1]
+    out = np.zeros((B, S, H))
+    h = np.zeros((B, H))
+    c = np.zeros((B, H))
+    bias = b_ih + b_hh
+    steps = range(S - 1, -1, -1) if reverse else range(S)
+    for t in steps:
+        valid = (t < lengths)[:, None]
+        gates = x[:, t] @ w_ih.T + h @ w_hh.T + bias
+        i = _sigmoid(gates[:, :H])
+        f = _sigmoid(gates[:, H:2 * H])
+        g = np.tanh(gates[:, 2 * H:3 * H])
+        o = _sigmoid(gates[:, 3 * H:])
+        c_new = f * c + i * g
+        h_new = o * np.tanh(c_new)
+        c = np.where(valid, c_new, c)
+        h = np.where(valid, h_new, h)
+        out[:, t] = np.where(valid, h_new, 0.0)
+    return out
+
+
+def char_cnn_features(char_ids: np.ndarray, char_emb: np.ndarray,
+                      conv_w: np.ndarray, conv_b: np.ndarray) -> np.ndarray:
+    """CharCNN.get_last_hiddens (model/charcnn.py:40-54) in numpy:
+    embed -> conv1d(kernel k, padding k//2) -> max-pool over positions.
+    char_ids: (N, L); conv_w: (hidden, char_dim, k). Like the
+    reference, positions are NOT length-masked (the conv and pool see
+    the pad-char embedding rows); unlike the reference the pad width
+    is the caller's fixed L, not the batch max — batch-invariant by
+    design."""
+    N, L = char_ids.shape
+    k = conv_w.shape[2]
+    emb = char_emb[char_ids]                       # (N, L, d)
+    pad = k // 2
+    x = np.pad(emb, ((0, 0), (pad, pad), (0, 0)))  # (N, L+2p, d)
+    win = np.lib.stride_tricks.sliding_window_view(
+        x, k, axis=1)                              # (N, L', d, k)
+    convd = np.einsum("nldk,hdk->nhl", win, conv_w) + conv_b[None, :, None]
+    return convd.max(axis=2)                       # (N, hidden)
+
+
+class NcrfCheckpointEmissions:
+    """REAL NCRF++ weights behind the emission slot, no torch: word
+    embedding + CharCNN + BiLSTM + hidden2tag forward
+    (model/wordsequence.py:14-112, model/wordrep.py:15-119,
+    model/charcnn.py:12-74) over a state dict loaded by
+    engine.torchckpt.load_state_dict from a ``torch.save`` zip.
+
+    State-dict keys follow SeqLabel (model/seqlabel.py:31-33):
+    ``word_hidden.wordrep.word_embedding.weight``,
+    ``word_hidden.wordrep.char_feature.char_embeddings.weight`` /
+    ``...char_cnn.{weight,bias}`` (optional),
+    ``word_hidden.lstm.{weight,bias}_{ih,hh}_l0[ _reverse]``,
+    ``word_hidden.hidden2tag.{weight,bias}``, ``crf.transitions``.
+
+    The slot contract is unchanged: __call__(ids, mask, extra) ->
+    (B, S, n_out) where n_out = label_alphabet_size + 2 (the CRF's
+    augmented tag space — callers slice their label columns via
+    ``label_ids``). Char inputs are derived from the word alphabet
+    once at construction (vocab word -> char-id row), so per batch the
+    char path is one gather + one conv — no per-word Python."""
+
+    def __init__(self, state: dict[str, np.ndarray],
+                 word_alphabet: Alphabet,
+                 char_alphabet: Alphabet | None = None) -> None:
+        g = {k: np.asarray(v, dtype=np.float64) for k, v in state.items()}
+        self.word_emb = g["word_hidden.wordrep.word_embedding.weight"]
+        self.w_ih_f = g["word_hidden.lstm.weight_ih_l0"]
+        self.w_hh_f = g["word_hidden.lstm.weight_hh_l0"]
+        self.b_ih_f = g["word_hidden.lstm.bias_ih_l0"]
+        self.b_hh_f = g["word_hidden.lstm.bias_hh_l0"]
+        self.bidirectional = "word_hidden.lstm.weight_ih_l0_reverse" in g
+        if self.bidirectional:
+            self.w_ih_r = g["word_hidden.lstm.weight_ih_l0_reverse"]
+            self.w_hh_r = g["word_hidden.lstm.weight_hh_l0_reverse"]
+            self.b_ih_r = g["word_hidden.lstm.bias_ih_l0_reverse"]
+            self.b_hh_r = g["word_hidden.lstm.bias_hh_l0_reverse"]
+        self.h2t_w = g["word_hidden.hidden2tag.weight"]
+        self.h2t_b = g["word_hidden.hidden2tag.bias"]
+        self.crf_transitions = g.get("crf.transitions")
+
+        ck = "word_hidden.wordrep.char_feature.char_embeddings.weight"
+        self.use_char = ck in g
+        if self.use_char:
+            if char_alphabet is None:
+                raise ValueError(
+                    "checkpoint has char weights; a char_alphabet "
+                    "aligned to its char embedding rows is required")
+            self.char_emb = g[ck]
+            self.conv_w = g["word_hidden.wordrep.char_feature.char_cnn.weight"]
+            self.conv_b = g["word_hidden.wordrep.char_feature.char_cnn.bias"]
+            # vocab word -> fixed-width char-id row, built once
+            V = word_alphabet.size()
+            L = max(
+                (len(word_alphabet.get_instance(i) or "")
+                 for i in range(1, V)), default=1) or 1
+            self.char_ids = np.zeros((V, L), dtype=np.int64)
+            for i in range(1, V):
+                w = word_alphabet.get_instance(i) or ""
+                for j, ch in enumerate(w[:L]):
+                    self.char_ids[i, j] = char_alphabet.get_index(ch)
+        in_dim = self.word_emb.shape[1] + (
+            self.conv_w.shape[0] if self.use_char else 0)
+        if in_dim != self.w_ih_f.shape[1]:
+            raise ValueError(
+                f"checkpoint input width mismatch: word+char = {in_dim} "
+                f"but lstm.weight_ih_l0 expects {self.w_ih_f.shape[1]} "
+                "(feature_embeddings inputs are not wired in this slot)")
+
+    @classmethod
+    def from_checkpoint(cls, path: str, word_alphabet: Alphabet,
+                        char_alphabet: Alphabet | None = None
+                        ) -> "NcrfCheckpointEmissions":
+        from .torchckpt import load_state_dict
+
+        return cls(load_state_dict(path), word_alphabet, char_alphabet)
+
+    def __call__(self, ids: np.ndarray, mask: np.ndarray,
+                 extra: np.ndarray | None = None) -> np.ndarray:
+        B, S = ids.shape
+        lengths = mask.astype(np.int64).sum(axis=1)
+        x = self.word_emb[ids]                       # (B, S, d)
+        if self.use_char:
+            ch = char_cnn_features(
+                self.char_ids[ids].reshape(B * S, -1),
+                self.char_emb, self.conv_w, self.conv_b)
+            x = np.concatenate([x, ch.reshape(B, S, -1)], axis=2)
+        fwd = lstm_forward(x, lengths, self.w_ih_f, self.w_hh_f,
+                           self.b_ih_f, self.b_hh_f)
+        if self.bidirectional:
+            bwd = lstm_forward(x, lengths, self.w_ih_r, self.w_hh_r,
+                               self.b_ih_r, self.b_hh_r, reverse=True)
+            fwd = np.concatenate([fwd, bwd], axis=2)
+        feats = fwd @ self.h2t_w.T + self.h2t_b
+        return feats * mask[:, :, None]
+
+
+def remap_checkpoint_crf(transitions: np.ndarray,
+                         label_ids: list[int]) -> np.ndarray:
+    """NCRF++ CRF transitions ((label_alphabet_size+2)^2, START at
+    index -2, STOP at -1 — model/crf.py:14,46) -> the engine layout
+    (n+2, n+2) over the caller's ``label_ids`` column selection, START
+    at n, STOP at n+1. transition[from][to] orientation is shared, so
+    this is one fancy-index gather."""
+    t = np.asarray(transitions, dtype=np.float64)
+    full = t.shape[0]
+    sel = list(label_ids) + [full - 2, full - 1]
+    return t[np.ix_(sel, sel)]
+
+
+def ncrf_label_ids(tags: list[str], n_reserved: int = 1) -> list[int]:
+    """Column ids of ``tags`` in an NCRF++ label alphabet that reserved
+    ``n_reserved`` leading ids (index 0 is the padding label in every
+    reference .dset — utils/alphabet.py:17-24)."""
+    return [n_reserved + i for i in range(len(tags))]
 
 
 def viterbi_batch(feats: np.ndarray, lengths: np.ndarray,
@@ -381,9 +554,38 @@ class NcrfScorer:
                  seed: int = 42, use_char: bool = False, char_dim: int = 16,
                  char_seed: int = 13,
                  feature_values: list[str] | None = None,
-                 feat_dim: int = 8) -> None:
+                 feat_dim: int = 8,
+                 checkpoint_path: str | None = None,
+                 char_alphabet_json: str | None = None) -> None:
         self.alpha = word_alphabet or Alphabet("word")
         self.alpha.close()  # ids must stay within the embedding matrix
+        self.tags = biose_tagset(self.CATEGORIES)
+        self.featurizer = (FeatureEmbedder(feature_values, feat_dim)
+                           if feature_values else None)
+        if checkpoint_path is not None:
+            # REAL NCRF++ weights, no torch: numpy WordRep + BiLSTM +
+            # hidden2tag + the checkpoint's own CRF transitions
+            chalpha = (Alphabet.from_json(char_alphabet_json)
+                       if char_alphabet_json else None)
+            ck = NcrfCheckpointEmissions.from_checkpoint(
+                checkpoint_path, self.alpha, chalpha)
+            label_ids = ncrf_label_ids(self.tags)
+            n_out = ck.h2t_w.shape[0]
+            if max(label_ids) >= n_out - 2:
+                raise ValueError(
+                    f"checkpoint emits {n_out} columns "
+                    f"(label_alphabet_size+2) but the tag set needs id "
+                    f"{max(label_ids)} — label alphabets do not match")
+            if ck.crf_transitions is not None:
+                self.transitions = remap_checkpoint_crf(
+                    ck.crf_transitions, label_ids)
+            else:
+                self.transitions = constrained_transitions(self.tags)
+            self._ck = ck
+            self._label_ids = np.asarray(label_ids)
+            self.emissions = self._checkpoint_emissions
+            self.emb_stats = {"checkpoint": checkpoint_path}
+            return
         self.emb, dim, self.emb_stats = build_pretrain_embedding(
             embedding_path, self.alpha, embedd_dim, seed=seed)
         if use_char:
@@ -393,13 +595,14 @@ class NcrfScorer:
             ch = CharNgramFeaturizer(char_dim=char_dim, seed=char_seed)
             self.emb = np.concatenate([self.emb, ch.matrix(self.alpha)],
                                       axis=1)
-        self.featurizer = (FeatureEmbedder(feature_values, feat_dim)
-                           if feature_values else None)
-        self.tags = biose_tagset(self.CATEGORIES)
         self.transitions = constrained_transitions(self.tags)
         self.emissions = SeededLinearEmissions(
             self.emb, len(self.tags), seed=seed + 1,
             extra_dim=self.featurizer.feat_dim if self.featurizer else 0)
+
+    def _checkpoint_emissions(self, ids: np.ndarray, mask: np.ndarray,
+                              extra: np.ndarray | None = None) -> np.ndarray:
+        return self._ck(ids, mask, extra)[:, :, self._label_ids]
 
     def _encode_pad(self, token_lists: list[list[str]]
                     ) -> tuple[np.ndarray, np.ndarray]:
@@ -484,7 +687,9 @@ class NcrfStage:
                  char_dim: int = 16,
                  feature_values: list[str] | None = None,
                  feat_dim: int = 8,
-                 features_col: str | None = None) -> None:
+                 features_col: str | None = None,
+                 checkpoint_path: str | None = None,
+                 char_alphabet_json: str | None = None) -> None:
         if alphabet_json is not None:
             alpha = Alphabet.from_json(alphabet_json)
         else:
@@ -496,7 +701,9 @@ class NcrfStage:
                              embedd_dim=embedd_dim, seed=seed,
                              use_char=use_char, char_dim=char_dim,
                              feature_values=feature_values,
-                             feat_dim=feat_dim)
+                             feat_dim=feat_dim,
+                             checkpoint_path=checkpoint_path,
+                             char_alphabet_json=char_alphabet_json)
         self.tokens_col = tokens_col
         self.out_col = out_col
         self.features_col = features_col

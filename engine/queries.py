@@ -1097,6 +1097,88 @@ def ncrf_label_turns(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def ncrf_checkpoint_label_turns(sf_dir: str) -> pd.DataFrame:
+    """A3 with REAL checkpoint weights and no torch: a deterministic
+    NCRF++-layout state dict (word embedding + CharCNN + BiLSTM +
+    hidden2tag + crf.transitions, seeded) is written as a torch-zip
+    ``.model`` file (engine.torchckpt.save_state_dict), then every
+    actor replica loads it back through the pure-numpy checkpoint
+    reader and decodes with the numpy WordRep/BiLSTM forward — the
+    full weight-file serving path the reference runs through torch
+    (model/seqlabel.py:31-33, model/wordsequence.py:14-112), minus the
+    framework. Rows-only (weights are synthetic); determinism across
+    replicas is the correctness property."""
+    import ray.data as rd
+
+    from .ncrf import NcrfScorer, NcrfStage, biose_tagset
+    from .ops.tokenize import tokenize
+    from .torchckpt import save_state_dict
+    from .vocab import Alphabet, build_vocab
+
+    ds = rd.read_parquet(transcripts_path(sf_dir),
+                         columns=["conv_id", "turn_idx", "text"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["conv_id"], "c00000020")),
+        batch_format="pyarrow",
+    )
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["tokens"] = [tokenize(t) for t in df["text"]]
+        return df[["conv_id", "turn_idx", "tokens"]]
+
+    with_tokens = ds.map_batches(tok, batch_format="pandas").materialize()
+    alpha = build_vocab(with_tokens, "tokens")
+    chalpha = Alphabet("char")
+    for i in range(1, alpha.size()):
+        for ch in alpha.get_instance(i) or "":
+            chalpha.add(ch)
+    chalpha.close()
+
+    # seeded synthetic weights in the exact NCRF++ state-dict layout
+    rng = np.random.default_rng(31)
+    d_word, d_char, char_hidden, lstm_hidden = 16, 8, 8, 8
+    n_aug = len(biose_tagset(NcrfScorer.CATEGORIES)) + 1 + 2
+    in_dim = d_word + char_hidden
+    f32 = lambda *s: (rng.standard_normal(s) / 4).astype(np.float32)  # noqa: E731
+    state = {
+        "word_hidden.wordrep.word_embedding.weight": f32(alpha.size(), d_word),
+        "word_hidden.wordrep.char_feature.char_embeddings.weight":
+            f32(chalpha.size(), d_char),
+        "word_hidden.wordrep.char_feature.char_cnn.weight":
+            f32(char_hidden, d_char, 3),
+        "word_hidden.wordrep.char_feature.char_cnn.bias": f32(char_hidden),
+        "word_hidden.hidden2tag.weight": f32(n_aug, 2 * lstm_hidden),
+        "word_hidden.hidden2tag.bias": f32(n_aug),
+        "crf.transitions": f32(n_aug, n_aug),
+    }
+    for sfx in ("", "_reverse"):
+        state[f"word_hidden.lstm.weight_ih_l0{sfx}"] = f32(
+            4 * lstm_hidden, in_dim)
+        state[f"word_hidden.lstm.weight_hh_l0{sfx}"] = f32(
+            4 * lstm_hidden, lstm_hidden)
+        state[f"word_hidden.lstm.bias_ih_l0{sfx}"] = f32(4 * lstm_hidden)
+        state[f"word_hidden.lstm.bias_hh_l0{sfx}"] = f32(4 * lstm_hidden)
+    ckpt = "/tmp/graft_ncrf_ckpt/synth.0.model"
+    os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+    save_state_dict(ckpt, state)
+
+    out = with_tokens.map_batches(
+        NcrfStage,
+        fn_constructor_kwargs={"alphabet_json": alpha.to_json(),
+                               "checkpoint_path": ckpt,
+                               "char_alphabet_json": chalpha.to_json()},
+        batch_format="pandas", concurrency=4, batch_size=512,
+    ).to_pandas()
+    out["labels"] = out["labels"].map(" ".join)
+    out["n_tokens"] = out["tokens"].map(len)
+    return (
+        out[["conv_id", "turn_idx", "n_tokens", "labels"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
 def kg_top_entities(sf_dir: str) -> pd.DataFrame:
     """O6: top-k head entities of the constructed graph (rows-only)."""
     from ray.data.aggregate import Count
@@ -1125,6 +1207,7 @@ QUERIES.update(
         "union_names_count": union_names_count,
         "kg_dep_morphs": kg_dep_morphs,
         "ncrf_label_turns": ncrf_label_turns,
+        "ncrf_checkpoint_label_turns": ncrf_checkpoint_label_turns,
         "kg_top_entities": kg_top_entities,
     }
 )
