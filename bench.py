@@ -170,6 +170,15 @@ def run_bench() -> dict:
     query_walls: dict[str, list[float]] = {}
     import gc
 
+    from engine.bwprobe import probe_one
+
+    # host-speed calibration bracketing the QUERY BLOCK itself (not
+    # just the run): the shared host drifts between the headline and
+    # the queries, so per-query cross-round comparisons need the
+    # block's own reference point (VERDICT r4 #7). Emitted as
+    # [before, after] turns/s/core.
+    qcal_pre = round(probe_one((0, 2)), 1) if bench_queries else None
+
     def timed(name: str) -> float:
         t0 = time.perf_counter()
         res = QUERIES[name](sf_dir)
@@ -201,14 +210,14 @@ def run_bench() -> dict:
     # this file), so the record carries its own reference point; compare
     # rounds as wall x (calib / 28600) to normalize to the round-3
     # calibration base.
-    from engine.bwprobe import probe_one
-
     calib = round(probe_one((0, 2)), 1)
+    qcal = ([qcal_pre, calib] if bench_queries else None)
 
     result = {
         "metric": "kg_pipeline_seconds",
         "value": round(headline, 3),
         "host_calib_turns_per_sec_core": calib,
+        "query_block_calib": qcal,  # [before, after] the query block
         "unit": "sec",
         "queries": per_query,
         "query_walls": query_walls,  # every run per query, auditable
