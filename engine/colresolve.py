@@ -98,6 +98,85 @@ def pack_entries(entries: list[tuple]) -> bytes:
     return MAGIC + zlib.compress(blob, 1)
 
 
+def pack_bucket_payloads(packs: dict[int, list[tuple]]
+                         ) -> tuple[list[int], list[bytes]]:
+    """All of one batch's buckets packed in ONE flattening pass: the
+    per-bucket fixed cost of pack_entries (nine pa.array dictionary
+    encodes + a pickle per call) dominated map-side packing at the
+    flagship's 32-bucket default (measured 8.8 us/turn vs ~3 at 8
+    buckets). Entries are concatenated in bucket order, encoded once
+    batch-wide, then each bucket's payload is cut from the flat arrays
+    with its dictionaries re-stripped via np.unique — the emitted
+    payload BYTES are the same v2 format pack_entries writes (the
+    roundtrip tests pin it)."""
+    buckets = sorted(packs)
+    entries: list[tuple] = []
+    ent_off = [0]
+    for b in buckets:
+        entries.extend(packs[b])
+        ent_off.append(len(entries))
+    n = len(entries)
+    conv_all = [e[0] for e in entries]
+    tix = np.fromiter((e[1] for e in entries), np.int32, n)
+    sid = np.fromiter((e[2] for e in entries), np.int64, n)
+    mcnt = np.fromiter((len(e[3]) for e in entries), np.int32, n)
+    rcnt = np.fromiter((len(e[4]) for e in entries), np.int32, n)
+
+    allm = [m for e in entries for m in e[3]]
+    nm = len(allm)
+    se = pa.array([m[0] for m in allm], pa.string()).dictionary_encode()
+    le = pa.array([m[1] for m in allm], pa.string()).dictionary_encode()
+    sc = se.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+    lc = le.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+    usurf = se.dictionary.to_pylist()
+    ulab = le.dictionary.to_pylist()
+    st = np.fromiter((m[2] for m in allm), np.int32, nm)
+    en = np.fromiter((m[3] for m in allm), np.int32, nm)
+    occ = np.fromiter((m[4] for m in allm), np.int32, nm)
+
+    allr = [r for e in entries for r in e[4]]
+    nr = len(allr)
+    pe = pa.array([r[1] for r in allr], pa.string()).dictionary_encode()
+    pcodes = pe.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+    upred = pe.dictionary.to_pylist()
+    ri = np.fromiter((r[0] for r in allr), np.int32, nr)
+    rj = np.fromiter((r[2] for r in allr), np.int32, nr)
+
+    moff = np.concatenate(([0], np.cumsum(mcnt))).astype(np.int64)
+    roff = np.concatenate(([0], np.cumsum(rcnt))).astype(np.int64)
+
+    def _strip(codes: np.ndarray, universe: list[str], small: bool):
+        uq, inv = np.unique(codes, return_inverse=True)
+        sub = [universe[c] for c in uq.tolist()]
+        return (inv.astype(np.int8 if small else np.int32),
+                _enc_strs(sub))
+
+    payloads = []
+    for i, b in enumerate(buckets):
+        e0, e1 = ent_off[i], ent_off[i + 1]
+        m0, m1 = int(moff[e0]), int(moff[e1])
+        r0, r1 = int(roff[e0]), int(roff[e1])
+        ce = pa.array(conv_all[e0:e1], pa.string()).dictionary_encode()
+        sc_b, us_b = _strip(sc[m0:m1], usurf, small=False)
+        lc_b, ul_b = _strip(lc[m0:m1], ulab, small=True)
+        pc_b, up_b = _strip(pcodes[r0:r1], upred, small=True)
+        blob = pickle.dumps(
+            (
+                ce.indices.to_numpy(zero_copy_only=False).astype(np.int32),
+                _enc_strs(ce.dictionary.to_pylist()),
+                tix[e0:e1], sid[e0:e1], mcnt[e0:e1], rcnt[e0:e1],
+                sc_b.astype(np.int32), us_b,
+                lc_b.astype(np.int8), ul_b,
+                st[m0:m1], en[m0:m1], occ[m0:m1],
+                ri[r0:r1], rj[r0:r1],
+                pc_b.astype(np.int8), up_b,
+            ),
+            protocol=5,
+        )
+        payloads.append(MAGIC + zlib.compress(blob, 1))
+    return buckets, payloads
+
+
 def unpack_entries(payload: bytes) -> list[tuple]:
     """Decode ANY payload version back to resolve_entries tuples (the
     compatibility / reference path; the hot path never calls this)."""

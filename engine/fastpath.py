@@ -532,7 +532,7 @@ def extract_packs(extractor: BatchKgExtractor, batch: pa.Table,
     shuffle split tasks at sf0.1); the columnar payload is ~1.15x
     smaller on the wire than the old pickled-tuples format and decodes
     ~7x faster on the resolve side (see engine/colresolve.py)."""
-    from .colresolve import pack_entries
+    from .colresolve import pack_bucket_payloads
 
     texts = batch["text"].to_pylist()
     conv_ids = batch["conv_id"].to_pylist()
@@ -549,14 +549,11 @@ def extract_packs(extractor: BatchKgExtractor, batch: pa.Table,
         sid = ((h >> 1) & ~0xFFFFF) | (turn_idx & 0xFFFFF)
         packs.setdefault(h % num_buckets, []).append(
             (conv_id, turn_idx, sid, ments, rels))
-    buckets = sorted(packs)
+    buckets, payloads = pack_bucket_payloads(packs)
     return pa.table(
         {
             "bucket": pa.array(buckets, pa.int32()),
-            "payload": pa.array(
-                [pack_entries(packs[b]) for b in buckets],
-                pa.binary(),
-            ),
+            "payload": pa.array(payloads, pa.binary()),
         }
     )
 
