@@ -684,14 +684,17 @@ def run_kg_pipeline(
                 pass
 
     def keep(t: pa.Table) -> pa.Table:
-        if not done:
-            return t
         mask = [
             fnv_bucket(c, num_buckets) not in done for c in t["conv_id"].to_pylist()
         ]
         return t.filter(pa.array(mask))
 
-    ds = read_transcripts(input_path).map_batches(keep, batch_format="pyarrow")
+    ds = read_transcripts(input_path)
+    if done:
+        # resume only — a fresh run has nothing to filter (the stage
+        # fuses with the extract actors either way, so this is about
+        # plan clarity, not a data copy)
+        ds = ds.map_batches(keep, batch_format="pyarrow")
     turns = ds.map_batches(
         KgTurnProcessor,
         fn_constructor_kwargs={"num_buckets": num_buckets},
