@@ -77,7 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     attested = set(_DRIVER_ATTESTED_R4)
     heavy = ["kg_triples", "kg_mentions_all", "kg_dep_morphs",
              "kg_top_entities", "kg_pagerank", "kg_two_hop",
-             "ncrf_train_eval"]
+             "kg_components", "ncrf_train_eval"]
     # 1) oracled, no official driver row yet (the rotation target)
     out = {k: v for k, v in q.items()
            if k in oracled and k not in attested}
@@ -1267,6 +1267,64 @@ def oracle_sql() -> dict[str, str]:
                                     ELSE raw END) + 0.5) AS BIGINT)
                      AS est_users
             FROM est ORDER BY event_type""",
+        # burst dedup: LAG-gap debounce per (user_id, event_type) —
+        # drop rows whose predecessor is within 60 s
+        "events_debounce": """
+            WITH g AS (
+                SELECT user_id, event_type, event_id,
+                       CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+                       epoch_us(ts) AS ts_us,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS gap
+                FROM events)
+            SELECT user_id, event_type, event_id, ts_ms
+            FROM g WHERE gap IS NULL OR gap > 60000000
+            ORDER BY user_id, event_type, ts_us, event_id""",
+        # per-user contribution cap: deterministic priority sample
+        # (k smallest splitmix64(event_id) per user) — the same
+        # limb-split HUGEINT splitmix64 mirror as events_user_hll,
+        # keyed on event_id, selection via QUALIFY row_number
+        "events_per_user_cap": """
+            WITH u AS (
+                SELECT user_id, event_id, value,
+                       CAST(((CAST(event_id AS HUGEINT)
+                              % 18446744073709551616)
+                             + 18446744073709551616)
+                            % 18446744073709551616 AS UBIGINT) AS x
+                FROM events),
+            z0 AS (SELECT user_id, event_id, value,
+                          CAST((CAST(x AS HUGEINT)
+                                + 11400714819323198485)
+                               % 18446744073709551616 AS UBIGINT) AS z
+                   FROM u),
+            a1 AS (SELECT user_id, event_id, value,
+                          xor(z, z >> 30) AS a FROM z0),
+            m1 AS (SELECT user_id, event_id, value,
+                          CAST((CAST(a & 4294967295 AS HUGEINT)
+                                * 13787848793156543929
+                                + ((CAST(a >> 32 AS HUGEINT)
+                                    * 13787848793156543929)
+                                   % 4294967296) * 4294967296)
+                               % 18446744073709551616 AS UBIGINT) AS z
+                   FROM a1),
+            a2 AS (SELECT user_id, event_id, value,
+                          xor(z, z >> 27) AS a FROM m1),
+            m2 AS (SELECT user_id, event_id, value,
+                          CAST((CAST(a & 4294967295 AS HUGEINT)
+                                * 10723151780598845931
+                                + ((CAST(a >> 32 AS HUGEINT)
+                                    * 10723151780598845931)
+                                   % 4294967296) * 4294967296)
+                               % 18446744073709551616 AS UBIGINT) AS z
+                   FROM a2),
+            h AS (SELECT user_id, event_id, value,
+                         xor(z, z >> 31) AS h FROM m2)
+            SELECT user_id, event_id, ROUND(value, 6) AS value
+            FROM h
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY h, event_id) <= 3
+            ORDER BY user_id, event_id""",
         # two-pass heavy hitters: the engine's MG sketch only NOMINATES
         # candidates; emitted counts come from an exact recount of the
         # <=capacity survivors, and the mergeable-summaries bound

@@ -137,7 +137,8 @@ def run_bench() -> dict:
         "events_heavy_users_sketch", "embed_label_centroids",
         "embed_quantize_int8", "docs_token_entropy",
         "events_props_stats", "q10_returned_customers",
-        "ncrf_checkpoint_label_turns",
+        "ncrf_checkpoint_label_turns", "events_per_user_cap",
+        "events_debounce",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

@@ -2575,6 +2575,45 @@ def kg_pagerank(sf_dir: str) -> pd.DataFrame:
 QUERIES["kg_pagerank"] = kg_pagerank
 
 
+def kg_components(sf_dir: str) -> pd.DataFrame:
+    """Weakly-connected components of the constructed KG (the graph-
+    hygiene report: how fragmented is the entity graph, what's the
+    giant component, how many singleton pairs) — scale-aware CC
+    (driver union-find under 100k edges, bucketed BSP label
+    propagation above; engine.canon components_auto, the same machinery
+    canonicalization runs). Output: the 10 largest components as
+    (root, n_nodes), largest first, min-label root as the stable
+    component id. Rows-only: the KG edge set comes from the NER
+    pipeline, not a DuckDB view."""
+    from .canon import components_auto
+    from .pipeline import triples_dataset
+    from .shuffle import grouped_fold
+
+    edges = grouped_fold(
+        triples_dataset(transcripts_path(sf_dir))
+        .map_batches(
+            lambda df: df[["subj", "obj"]]
+            .rename(columns={"subj": "src", "obj": "dst"})
+            .drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["src", "dst"], lambda g: g.drop_duplicates(["src", "dst"]),
+    )
+    roots = components_auto(edges)
+    sizes = (roots.map_batches(
+        lambda df: df.groupby("root", as_index=False)
+        .agg(n_nodes=("node", "size")),
+        batch_format="pandas")
+        .to_pandas()
+        .groupby("root", as_index=False)["n_nodes"].sum())
+    return (sizes.sort_values(["n_nodes", "root"],
+                              ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
+QUERIES["kg_components"] = kg_components
+
+
 def events_lag_delta(sf_dir: str) -> pd.DataFrame:
     """LAG window family: per-user delta between consecutive event
     values (exact integer cents; first event's delta is its own
@@ -3902,6 +3941,96 @@ def events_heavy_users_sketch(sf_dir: str, capacity: int = 4096,
 
 
 QUERIES["events_heavy_users_sketch"] = events_heavy_users_sketch
+
+
+def events_per_user_cap(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-key contribution cap — keep at most k events per user — the
+    data-BALANCING op every training corpus applies so head users/
+    domains can't dominate a sample (the per-key deterministic
+    reservoir): priority = splitmix64(event_id), keep the k smallest
+    per user. Hash priority makes the selection a pure row property —
+    partitioning, batch boundaries and merge order cannot change it,
+    and per-batch top-k partials are mergeable (keep k smallest of a
+    union == keep k smallest of per-part k-smallest). Exchange carries
+    <= k rows per (user, batch), never the event space. ORACLED
+    bit-exactly: the same splitmix64 in HUGEINT limb arithmetic +
+    QUALIFY row_number."""
+    from .shuffle import grouped_fold
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def reduce_frame(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "h", "event_id"])
+        return d.groupby("user_id", as_index=False).head(k)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            h=_splitmix64(df["event_id"].to_numpy(np.int64).view(np.uint64)))
+        return reduce_frame(df)
+
+    out = (
+        grouped_fold(ds.map_batches(combine, batch_format="pandas"),
+                     "user_id", reduce_frame,
+                     rows_hint=_tbl_rows(sf_dir, "events"))
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    for c in ("user_id", "event_id"):
+        out[c] = out[c].astype("int64")
+    out["value"] = out["value"].round(6)
+    return out[["user_id", "event_id", "value"]]
+
+
+QUERIES["events_per_user_cap"] = events_per_user_cap
+
+
+def events_debounce(sf_dir: str, gap_us: int = 60_000_000) -> pd.DataFrame:
+    """Burst dedup (debounce/throttle): drop an event when the
+    PREVIOUS event of the same (user_id, event_type) — kept or not —
+    is within `gap_us` — the log-cleaning op that collapses retry
+    storms and double-clicks before training on event streams. LAG-gap
+    semantics (a pure window function, one row of state) rather than
+    kept-chain debounce, so it is exactly SQL-expressible and
+    partition-order-independent. Whole key groups co-locate through
+    grouped_fold (bounded per-key cardinality, the sessions-family
+    assumption); per batch a vectorized diff — no per-row Python."""
+    from .shuffle import grouped_fold
+
+    ds = _rp(sf_dir, "events",
+             ["user_id", "event_type", "event_id", "ts"])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(ts_us=df["ts"].astype("datetime64[us]")
+                         .astype("int64")).drop(columns="ts")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "event_type", "ts_us", "event_id"])
+        key_change = (
+            (d["user_id"].to_numpy() !=
+             np.roll(d["user_id"].to_numpy(), 1))
+            | (d["event_type"].to_numpy() !=
+               np.roll(d["event_type"].to_numpy(), 1)))
+        key_change[:1] = True
+        gap = np.diff(d["ts_us"].to_numpy(), prepend=0)
+        keep = key_change | (gap > gap_us)
+        return d[keep]
+
+    out = (
+        grouped_fold(ds.map_batches(attach, batch_format="pandas"),
+                     ["user_id", "event_type"], fold,
+                     rows_hint=_tbl_rows(sf_dir, "events"))
+        .to_pandas()
+        .sort_values(["user_id", "event_type", "ts_us", "event_id"])
+        .reset_index(drop=True)
+    )
+    out["ts_ms"] = out["ts_us"] // 1000
+    for c in ("user_id", "event_id", "ts_ms"):
+        out[c] = out[c].astype("int64")
+    return out[["user_id", "event_type", "event_id", "ts_ms"]]
+
+
+QUERIES["events_debounce"] = events_debounce
 
 
 def embed_label_centroids(sf_dir: str) -> pd.DataFrame:
