@@ -1411,23 +1411,25 @@ QUERIES["ncrf_train_eval"] = ncrf_train_eval
 
 
 def multimodal_features(sf_dir: str) -> pd.DataFrame:
-    """Multimodal actor-pool plumbing end-to-end (rows-only): a
-    deterministic synthetic media table (binary payload column, typed
-    metadata) routed by kind through the three stub-decode stages —
-    image decode, audio resample, video frame-sample — then aggregated
-    per kind. Real codecs drop into the same actors (fake=False path
-    raises NotImplementedError by design; libs absent here)."""
+    """Multimodal actor-pool pipeline end-to-end (rows-only): a
+    deterministic media table whose image rows are REAL encoded
+    PPM/BMP and audio rows REAL 16-bit PCM WAV, routed by kind through
+    the decode stages — NATIVE pure-numpy/stdlib decode for those
+    formats (round 5), including resample + RMS/ZCR/spectral-centroid
+    for audio — then aggregated per kind. Only video (and compressed
+    image/audio codecs) remain stubbed behind NotImplementedError /
+    fake=True: no ffmpeg/PIL in this environment."""
     import ray.data as rd
 
     from .multimodal import (decode_images, resample_audio, sample_frames,
                              synth_media_table)
 
     n = 300 if "0.1" in os.path.basename(os.path.normpath(sf_dir)) else 120
-    media = rd.from_arrow(synth_media_table(n))
+    media = rd.from_arrow(synth_media_table(n, real=True))
     img = decode_images(
-        media.filter(expr="kind == 'image'"), fake=True).to_pandas()
+        media.filter(expr="kind == 'image'"), fake=False).to_pandas()
     aud = resample_audio(
-        media.filter(expr="kind == 'audio'"), fake=True).to_pandas()
+        media.filter(expr="kind == 'audio'"), fake=False).to_pandas()
     vid = sample_frames(
         media.filter(expr="kind == 'video'"), fake=True).to_pandas()
     out = pd.DataFrame(
