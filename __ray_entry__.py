@@ -1193,6 +1193,140 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY user_id, event_type
                                        ORDER BY ts DESC, event_id DESC) = 1
             ORDER BY user_id, event_type""",
+        # Log-linear quantile sketch (DDSketch/HDR family, full sign
+        # split: negative store + zero counter + positive store),
+        # ORACLED BIT-EXACTLY with no transcendentals: every float op
+        # in the bucket map is EXACT (power-of-two table built by
+        # exact recursive doubling/halving, |v|/p exact, Sterbenz
+        # x-1.0, *L exponent shift, sign flip), midpoint
+        # sgn*(p*(1.0+(sub+0.5)/L)) exact, rank = CEIL(q * total) the
+        # same correctly-rounded double product both sides. The three
+        # stores collapse into one integer order key
+        # sgn*(k*L + sub + 200000) whose ascending walk is value
+        # order, so MIN(mid) over cum>=rank selects the first
+        # qualifying bucket (mid strictly increases in ordk).
+        "events_value_quantiles_sketch": """
+            WITH RECURSIVE pw_up(k, p) AS (
+                SELECT 0, CAST(1.0 AS DOUBLE)
+                UNION ALL SELECT k + 1, p * 2.0 FROM pw_up WHERE k < 60
+            ), pw_dn(k, p) AS (
+                SELECT 0, CAST(1.0 AS DOUBLE)
+                UNION ALL SELECT k - 1, p / 2.0 FROM pw_dn WHERE k > -60
+            ), pows AS (
+                SELECT * FROM pw_up
+                UNION ALL SELECT * FROM pw_dn WHERE k < 0
+            ), base AS (
+                SELECT event_type, ABS(value) AS mag,
+                       CASE WHEN value > 0.0 THEN 1
+                            WHEN value < 0.0 THEN -1
+                            ELSE 0 END AS sgn
+                FROM events
+            ), nz AS (
+                SELECT b.event_type, b.sgn, pows.k, pows.p,
+                       CAST(FLOOR((b.mag / pows.p - 1.0) * 64.0)
+                            AS BIGINT) AS sub
+                FROM base b
+                JOIN pows ON b.mag >= pows.p AND b.mag < pows.p * 2.0
+                WHERE b.sgn <> 0
+            ), allb AS (
+                SELECT event_type,
+                       sgn * (k * 64 + sub + 200000) AS ordk,
+                       CAST(sgn AS DOUBLE)
+                           * (p * (1.0 + (CAST(sub AS DOUBLE) + 0.5)
+                                   / 64.0)) AS mid
+                FROM nz
+                UNION ALL
+                SELECT event_type, 0 AS ordk, CAST(0.0 AS DOUBLE) AS mid
+                FROM base WHERE sgn = 0
+            ), h AS (
+                SELECT event_type, ordk, mid, COUNT(*) AS n
+                FROM allb GROUP BY event_type, ordk, mid
+            ), c AS (
+                SELECT event_type, mid,
+                       SUM(n) OVER (PARTITION BY event_type
+                                    ORDER BY ordk) AS cum,
+                       SUM(n) OVER (PARTITION BY event_type) AS total
+                FROM h
+            )
+            SELECT event_type, CAST(total AS BIGINT) AS n_events,
+                   MIN(mid) FILTER (cum >= CEIL(0.5 * total))
+                       AS p50_est,
+                   MIN(mid) FILTER (cum >= CEIL(0.9 * total))
+                       AS p90_est,
+                   MIN(mid) FILTER (cum >= CEIL(0.99 * total))
+                       AS p99_est
+            FROM c GROUP BY event_type, total
+            ORDER BY event_type""",
+        # Efraimidis-Spirakis weighted sample without replacement:
+        # same limb-split HUGEINT splitmix64 mirror as events_user_hll
+        # keyed on doc_id; u = (CAST(h AS DOUBLE)+1)/2^64 the same
+        # correctly-rounded ops both sides; ln() is libm on both sides
+        # (the engine recomputes candidate keys with scalar math.log —
+        # bit-identical to DuckDB ln, measured), so es_key hashes
+        # exactly.
+        "docs_weighted_sample": """
+            WITH u0 AS (
+                SELECT doc_id, n_chars,
+                       CAST(((CAST(doc_id AS HUGEINT)
+                              % 18446744073709551616)
+                             + 18446744073709551616)
+                            % 18446744073709551616 AS UBIGINT) AS x
+                FROM documents WHERE n_chars > 0),
+            z0 AS (SELECT doc_id, n_chars,
+                          CAST((CAST(x AS HUGEINT)
+                                + 11400714819323198485)
+                               % 18446744073709551616 AS UBIGINT) AS z
+                   FROM u0),
+            a1 AS (SELECT doc_id, n_chars,
+                          xor(z, z >> 30) AS a FROM z0),
+            m1 AS (SELECT doc_id, n_chars,
+                          CAST((CAST(a & 4294967295 AS HUGEINT)
+                                * 13787848793156543929
+                                + ((CAST(a >> 32 AS HUGEINT)
+                                    * 13787848793156543929)
+                                   % 4294967296) * 4294967296)
+                               % 18446744073709551616 AS UBIGINT) AS z
+                   FROM a1),
+            a2 AS (SELECT doc_id, n_chars,
+                          xor(z, z >> 27) AS a FROM m1),
+            m2 AS (SELECT doc_id, n_chars,
+                          CAST((CAST(a & 4294967295 AS HUGEINT)
+                                * 10723151780598845931
+                                + ((CAST(a >> 32 AS HUGEINT)
+                                    * 10723151780598845931)
+                                   % 4294967296) * 4294967296)
+                               % 18446744073709551616 AS UBIGINT) AS z
+                   FROM a2),
+            h AS (SELECT doc_id, n_chars,
+                         xor(z, z >> 31) AS h FROM m2)
+            SELECT doc_id, n_chars,
+                   -LN((CAST(h AS DOUBLE) + 1.0)
+                       / 18446744073709551616.0)
+                       / CAST(n_chars AS DOUBLE) AS es_key
+            FROM h
+            QUALIFY row_number() OVER (ORDER BY es_key, doc_id) <= 50
+            ORDER BY es_key, doc_id""",
+        # Triangle count over the parts co-order graph: the engine
+        # runs degree-ordered wedge counting (Suri & Vassilvitskii
+        # MPC shape); the oracle counts the same triangles via the
+        # id-ordered 3-way self-join — different orientation,
+        # identical exact count.
+        "parts_coorder_triangles": """
+            WITH pe AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a
+                JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_partkey < b.l_partkey
+            )
+            SELECT
+              (SELECT COUNT(DISTINCT p) FROM (
+                   SELECT u AS p FROM pe
+                   UNION ALL SELECT v FROM pe)) AS n_nodes,
+              (SELECT COUNT(*) FROM pe) AS n_edges,
+              (SELECT COUNT(*) FROM pe e1
+                 JOIN pe e2 ON e2.u = e1.v
+                 JOIN pe e3 ON e3.u = e1.u AND e3.v = e2.v)
+                  AS n_triangles""",
         # HyperLogLog distinct-users-per-type, ORACLED BIT-EXACTLY:
         # register max is associative, so the engine's batch-merged
         # registers equal a global per-(type, reg_idx) MAX of rho —

@@ -138,7 +138,8 @@ def run_bench() -> dict:
         "embed_quantize_int8", "docs_token_entropy",
         "events_props_stats", "q10_returned_customers",
         "ncrf_checkpoint_label_turns", "events_per_user_cap",
-        "events_debounce",
+        "events_debounce", "events_value_quantiles_sketch",
+        "parts_coorder_triangles", "docs_weighted_sample",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

@@ -4311,3 +4311,338 @@ def q10_returned_customers(sf_dir: str, k: int = 20,
 
 
 QUERIES["q10_returned_customers"] = q10_returned_customers
+
+
+def events_value_quantiles_sketch(sf_dir: str, L: int = 64) -> pd.DataFrame:
+    """Mergeable log-linear quantile sketch (the DDSketch /
+    HDRHistogram family: reference for the algorithm shape is the
+    published DDSketch paper, VLDB'19) — the UNBOUNDED-domain
+    companion to events_value_quantiles (whose histogram reduce is
+    bounded by DISTINCT values): at 100 TB of continuous telemetry the
+    distinct-value histogram IS the data, while this sketch's exchange
+    stays O(octaves x L) counts per event type regardless of rows,
+    with a guaranteed relative error <= 1/(2L) (~0.78% at L=64).
+
+    Full DDSketch sign split: a NEGATIVE store (bucketed on |v|, walked
+    in reverse), an exact ZERO counter, and a POSITIVE store. Bucket =
+    (binary octave k, linear sub-bucket): |v| in [2^k, 2^(k+1)),
+    sub = floor((|v|/2^k - 1) * L); the three stores collapse into ONE
+    integer order key sgn * (k*L + sub + OFF) whose ascending walk is
+    exactly value order. Every float op in the bucket map and the
+    midpoint estimate is EXACT (frexp, power-of-two scaling, Sterbenz
+    subtraction, a <=7-bit-mantissa add, a sign flip), so the sketch is
+    bit-deterministic across batch boundaries and merge orders, and the
+    DuckDB oracle mirrors it with an exact recursive power-of-two
+    table — no transcendentals on either side. Partial per batch =
+    (event_type, ordk) counts; merged through shuffle.grouped_sum
+    (corpus-scaled only in event types, which are bounded); the driver
+    walks the tiny cumulative histogram. Magnitudes are bounded to
+    [2^-60, 2^60) — the span of the oracle's power table — and the
+    error guarantee is RELATIVE TO |v| (zeros exact)."""
+    from .shuffle import grouped_sum
+
+    OFF = 200_000  # > 60*L + 6, keeps sgn*(b+OFF) sign-separated
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        if np.isnan(v).any():
+            raise ValueError(
+                "events_value_quantiles_sketch: null/NaN values")
+        mag = np.abs(v)
+        nz = mag > 0.0
+        if nz.any() and not ((mag[nz] >= 2.0 ** -60)
+                             & (mag[nz] < 2.0 ** 60)).all():
+            raise ValueError(
+                "events_value_quantiles_sketch: |value| outside the "
+                "[2^-60, 2^60) mirror domain")
+        sgn = np.zeros(len(v), dtype=np.int64)
+        sgn[v > 0.0] = 1
+        sgn[v < 0.0] = -1
+        b = np.zeros(len(v), dtype=np.int64)
+        if nz.any():
+            m, e = np.frexp(mag[nz])  # |v| = m * 2^e, m in [0.5, 1)
+            k = (e - 1).astype(np.int64)   # octave
+            x = m * 2.0                    # |v| / 2^k in [1, 2) — exact
+            sub = np.floor((x - 1.0) * L).astype(np.int64)  # exact
+            b[nz] = k * L + sub
+        g = (pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                           "ordk": sgn * (b + OFF)})
+             .groupby(["event_type", "ordk"], as_index=False).size())
+        return g.rename(columns={"size": "n"})
+
+    hist = (
+        grouped_sum(ds.map_batches(combine, batch_format="pandas"),
+                    ["event_type", "ordk"], "n",
+                    rows_hint=_tbl_rows(sf_dir, "events"))
+        .to_pandas()
+    )
+
+    def mids_of(ordk: np.ndarray) -> np.ndarray:
+        sgn = np.sign(ordk).astype(np.float64)
+        babs = np.abs(ordk) - OFF          # 0-rows give -OFF; masked out
+        k = np.floor_divide(babs, L)
+        sub = babs - k * L
+        out = sgn * np.ldexp(1.0 + (sub + 0.5) / L, k)
+        out[ordk == 0] = 0.0
+        return out
+
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("ordk")
+        cum = g["n"].to_numpy().cumsum()
+        total = int(cum[-1])
+        # bucket midpoint sgn * 2^k * (1 + (sub + 0.5)/L): ldexp +
+        # exact adds + sign flip, identical bits to the oracle's
+        # CAST(sgn AS DOUBLE) * (p * (1.0 + (sub + 0.5)/L))
+        mids = mids_of(g["ordk"].to_numpy())
+        q = {}
+        for p, name in [(0.5, "p50_est"), (0.9, "p90_est"),
+                        (0.99, "p99_est")]:
+            rank = math.ceil(p * float(total))  # same double product as SQL
+            q[name] = float(mids[np.searchsorted(cum, rank)])
+        rows.append({"event_type": et, "n_events": total, **q})
+    return (pd.DataFrame(rows).sort_values("event_type")
+            .reset_index(drop=True))
+
+
+QUERIES["events_value_quantiles_sketch"] = events_value_quantiles_sketch
+
+
+def parts_coorder_triangles(sf_dir: str) -> pd.DataFrame:
+    """Distributed triangle counting over the parts CO-ORDER graph
+    (edge {u, v} iff some order contains both parts) — the graph
+    primitive behind clustering-coefficient / community diagnostics a
+    KG or recommendation corpus runs at scale. Three stages, each an
+    idiom this engine already uses:
+
+    1. per-order pair generation inside grouped_fold(l_orderkey):
+       complete order groups co-locate; pairs are built fully
+       vectorized by bucketing groups BY SIZE and reshaping (basket
+       sizes are schema-bounded — TPC-H lineitem <= 7 lines — so the
+       s^2 blowup per order is a constant, documented assumption);
+    2. global edge dedup: grouped_fold(u, v) drop_duplicates;
+    3. degree-ordered wedge counting (the standard MPC/MapReduce
+       triangle algorithm, cf. Suri & Vassilvitskii WWW'11): orient
+       each edge from the (degree, id)-smaller endpoint, so every
+       out-degree is O(sqrt(m)) and the wedge set is O(m^1.5) instead
+       of sum(deg^2); wedges semi-join the oriented edge set on a
+       packed int64 key. Degree map and edge set broadcast via
+       ray.put below a threshold (parts << lineitem) with the
+       grouped-fold distributed fallback above it.
+
+    Output: one row {n_nodes, n_edges, n_triangles}. The DuckDB
+    oracle counts via the id-ordered 3-way self-join — a different
+    orientation, same exact count."""
+    import ray
+
+    from .shuffle import grouped_fold
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def _pairs_from_groups(key: np.ndarray, val: np.ndarray,
+                           sorted_unique_rows: pd.DataFrame | None = None):
+        """val grouped by key (both sorted by (key, val), rows unique):
+        all within-group pairs (u < v), vectorized by group size."""
+        starts = np.r_[0, np.flatnonzero(key[1:] != key[:-1]) + 1]
+        sizes = np.diff(np.r_[starts, len(key)])
+        us, vs = [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            idx = starts[sizes == s]
+            mat = val[idx[:, None] + np.arange(s)]
+            iu, ju = np.triu_indices(int(s), k=1)
+            us.append(mat[:, iu].ravel())
+            vs.append(mat[:, ju].ravel())
+        if not us:
+            e = np.array([], dtype=np.int64)
+            return e, e
+        return np.concatenate(us), np.concatenate(vs)
+
+    def order_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df.drop_duplicates(["l_orderkey", "l_partkey"])
+             .sort_values(["l_orderkey", "l_partkey"]))
+        u, v = _pairs_from_groups(d["l_orderkey"].to_numpy(np.int64),
+                                  d["l_partkey"].to_numpy(np.int64))
+        return (pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+                if len(u) else
+                pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                              "v": pd.Series([], dtype="int64")}))
+
+    n_li = _tbl_rows(sf_dir, "lineitem")
+    pairs = grouped_fold(li, "l_orderkey", order_pairs, rows_hint=n_li)
+    edges = grouped_fold(pairs, ["u", "v"],
+                         lambda df: df.drop_duplicates(),
+                         rows_hint=n_li).materialize()
+    m = edges.count()
+    if m == 0:
+        return pd.DataFrame({"n_nodes": [0], "n_edges": [0],
+                             "n_triangles": [0]})
+
+    # degree per node: count both endpoints (edge list is deduped)
+    from .shuffle import grouped_sum
+
+    def endpoint_counts(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.concatenate([df["u"].to_numpy(np.int64),
+                            df["v"].to_numpy(np.int64)])
+        nodes, cnt = np.unique(p, return_counts=True)
+        return pd.DataFrame({"p": nodes, "deg": cnt.astype("int64")})
+
+    deg = (grouped_sum(edges.map_batches(endpoint_counts,
+                                         batch_format="pandas"),
+                       "p", "deg", rows_hint=m).to_pandas())
+    n_nodes = len(deg)
+    # parts number << lineitem rows; sorted-array broadcast (the q5
+    # zero-exchange idiom). Above the driver threshold the right move
+    # is a bucket_join of deg onto edges — the corpora this engine
+    # targets keep the NODE table broadcastable long past 100 TB of
+    # fact rows (2^31 partkeys x 16B = 34 GB is the true ceiling;
+    # threshold env-overridable like the join regimes).
+    dkeys = np.ascontiguousarray(deg["p"].to_numpy(np.int64))
+    order = np.argsort(dkeys, kind="stable")
+    dkeys = dkeys[order]
+    dvals = np.ascontiguousarray(deg["deg"].to_numpy(np.int64)[order])
+    deg_ref = ray.put((dkeys, dvals))
+
+    def orient(df: pd.DataFrame, ref=deg_ref) -> pd.DataFrame:
+        dk, dv = ray.get(ref)
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        du = dv[np.searchsorted(dk, u)]
+        dvg = dv[np.searchsorted(dk, v)]
+        # src = (deg, id)-smaller endpoint
+        swap = (dvg < du) | ((dvg == du) & (v < u))
+        src = np.where(swap, v, u)
+        dst = np.where(swap, u, v)
+        ddeg = np.where(swap, du, dvg)
+        return pd.DataFrame({"src": src, "dst": dst, "ddeg": ddeg})
+
+    oriented = edges.map_batches(orient,
+                                 batch_format="pandas").materialize()
+
+    from .pathlog import note
+
+    def _wedge_frame(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        # out-neighbors sorted by (deg, id): wedge (w1, w2) comes out
+        # already oriented, so closure is exactly "oriented edge
+        # src=w1, dst=w2 exists"
+        d = df.sort_values(["src", "ddeg", "dst"])
+        return _pairs_from_groups(d["src"].to_numpy(np.int64),
+                                  d["dst"].to_numpy(np.int64))
+
+    # wedge volume is SUPERLINEAR in edges (O(m^1.5) after degree
+    # orientation), so the fold's driver threshold is far below the
+    # generic grouped_fold default: past ~64k edges the wedge+close
+    # work must run bucket-parallel (measured at sf0.1: 1.2M edges ->
+    # 41M wedges, 34 s on the driver vs bucket-parallel seconds)
+    wedge_driver = int(os.environ.get("GRAFT_TRI_WEDGE_DRIVER", 65536))
+    bcast = int(os.environ.get("GRAFT_TRI_BCAST", 2_000_000))
+    if m <= bcast:
+        # closure FUSED into the wedge fold against the broadcast
+        # sorted edge-key array: the 41M-row wedge set never
+        # materializes into the object store
+        note("parts_coorder_triangles", "broadcast_close", n_edges=m)
+        blocks = [b.to_pandas() for b in ray.get(oriented.to_arrow_refs())]
+        ek = pd.concat(blocks, ignore_index=True)
+        ekey = np.sort((ek["src"].to_numpy(np.int64) << np.int64(32))
+                       | ek["dst"].to_numpy(np.int64))
+        ek_ref = ray.put(ekey)
+
+        def wedge_close(df: pd.DataFrame, ref=ek_ref) -> pd.DataFrame:
+            keys = ray.get(ref)
+            u, v = _wedge_frame(df)
+            if not len(u):
+                return pd.DataFrame({"t": [0]})
+            wk = (u << np.int64(32)) | v
+            pos = np.minimum(np.searchsorted(keys, wk), len(keys) - 1)
+            return pd.DataFrame({"t": [int((keys[pos] == wk).sum())]})
+
+        tri = int(grouped_fold(oriented, "src", wedge_close,
+                               rows_hint=m, driver_threshold=wedge_driver)
+                  .to_pandas()["t"].sum())
+    else:
+        # edge set past the broadcast ceiling: materialized wedge keys
+        # bucket-semi-join the oriented-edge keys (duplicate wedge
+        # keys — same closing edge, different apex — each count, which
+        # semi preserves on the left side)
+        note("parts_coorder_triangles", "bucket_semi_close", n_edges=m)
+        from .joins import bucket_join
+
+        def wedge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            u, v = _wedge_frame(df)
+            if not len(u):
+                return pd.DataFrame({"wk": pd.Series([], dtype="int64")})
+            return pd.DataFrame({"wk": (u << np.int64(32)) | v})
+
+        wedges = grouped_fold(oriented, "src", wedge_pairs,
+                              rows_hint=m, driver_threshold=wedge_driver)
+
+        def ekeys(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"wk": (df["src"].to_numpy(np.int64) << np.int64(32))
+                       | df["dst"].to_numpy(np.int64)})
+
+        tri = int(bucket_join(
+            wedges, oriented.map_batches(ekeys, batch_format="pandas"),
+            on="wk", how="semi", rows_hint=m).count())
+    return pd.DataFrame({"n_nodes": [n_nodes], "n_edges": [int(m)],
+                         "n_triangles": [tri]}).astype("int64")
+
+
+QUERIES["parts_coorder_triangles"] = parts_coorder_triangles
+
+
+def docs_weighted_sample(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES, IPL 2006 — the one-pass weighted reservoir): key_i =
+    -ln(u_i) / w_i with u_i = (splitmix64(doc_id)+1) / 2^64 in (0, 1],
+    keep the k SMALLEST keys. Weight here is n_chars — the doc-level
+    analog of token-budget sampling (longer docs proportionally
+    likelier), the corpus-mixing primitive behind "sample 10B tokens
+    from this 100-TB crawl with these per-doc weights". The hash
+    replaces the RNG, so membership is a pure row property:
+    partitioning, batch boundaries and merge order cannot change the
+    sample, and per-batch top-k partials are mergeable.
+
+    Two-phase for bit-stability (the MG-sketch discipline): per-batch
+    NOMINATION uses vectorized np.log with an epsilon-expanded
+    boundary (np.log's SIMD kernel differs from libm ln by <= 1 ulp —
+    measured on this host — and a margin of 1e-12 relative dwarfs
+    that), then the driver recomputes the <= (k+slack) x batches
+    candidate keys with scalar libm math.log, which matches DuckDB
+    ln() BIT-FOR-BIT, so the emitted es_key column hash-matches the
+    HUGEINT-splitmix64 + ln() oracle exactly."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def nominate(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_chars"] > 0]
+        if df.empty:
+            return df[["doc_id", "n_chars"]]
+        h = _splitmix64(df["doc_id"].to_numpy(np.int64).view(np.uint64))
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        akey = -np.log(u) / df["n_chars"].to_numpy(np.float64)
+        if len(akey) > k:
+            kth = np.partition(akey, k - 1)[k - 1]
+            keep = akey <= kth * (1.0 + 1e-12) + 1e-300
+            df = df[keep]
+        return df[["doc_id", "n_chars"]]
+
+    cand = (ds.map_batches(nominate, batch_format="pandas")
+            .to_pandas())
+    h = _splitmix64(cand["doc_id"].to_numpy(np.int64).view(np.uint64))
+    u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+    # exact libm keys on the small candidate set only
+    key = np.array([-math.log(x) for x in u], dtype=np.float64)
+    key = key / cand["n_chars"].to_numpy(np.float64)
+    out = (cand.assign(es_key=key)
+           .sort_values(["es_key", "doc_id"])
+           .head(k)
+           .reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out[["doc_id", "n_chars", "es_key"]]
+
+
+QUERIES["docs_weighted_sample"] = docs_weighted_sample

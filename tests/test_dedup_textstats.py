@@ -388,3 +388,142 @@ def test_mg_heavy_hitters_guarantees(ray_session, tmp_path):
     fb = events_heavy_users_sketch(str(tmp_path), capacity=4, k=10)
     assert pathlog.count("heavy_users_sketch", "exact_fallback") == 1
     pd.testing.assert_frame_equal(fb.astype("int64"), want.astype("int64"))
+
+
+def test_loglinear_quantile_sketch(ray_session, tmp_path):
+    """events_value_quantiles_sketch on a lognormal synthetic spanning
+    ~9 octaves: (a) every estimated quantile is within the guaranteed
+    relative error 1/(2L) of the exact percentile_disc value, (b) the
+    sketch is batch-boundary-invariant (the (k, sub) histogram of the
+    distributed run equals a single-pass local histogram), and (c) the
+    positive-domain guard raises on nonpositive values."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from engine.queries import events_value_quantiles_sketch
+
+    rng = np.random.default_rng(11)
+    n = 200_000
+    v = np.exp(rng.normal(0.0, 2.0, n)) + 0.001
+    et = np.where(np.arange(n) % 3 == 0, "click", "view")
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.full(n, 1_600_000_000_000),
+                       type=pa.timestamp("ms")),
+        "user_id": pa.array(np.arange(n, dtype=np.int64)),
+        "event_type": pa.array(et),
+        "value": pa.array(v),
+        "props": pa.array([""] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = events_value_quantiles_sketch(str(tmp_path))
+    L = 64
+    for _, row in got.iterrows():
+        sub = v[et == row.event_type]
+        sub.sort()
+        for p, col in [(0.5, "p50_est"), (0.9, "p90_est"),
+                       (0.99, "p99_est")]:
+            import math
+            exact = sub[math.ceil(p * len(sub)) - 1]
+            assert abs(row[col] - exact) / exact <= 1.0 / (2 * L), (
+                row.event_type, col, row[col], exact)
+
+    # (b) merge invariance: estimates recomputed from one local
+    # single-pass histogram must equal the distributed run's output
+    # BIT-exactly (the bucket map and midpoint use only exact float
+    # ops, so batch boundaries and merge order cannot move a value)
+    import math
+
+    import pandas as pd
+    m, e = np.frexp(v)
+    k = (e - 1).astype(np.int64)
+    s = np.floor((m * 2.0 - 1.0) * L).astype(np.int64)
+    local = (pd.DataFrame({"et": et, "k": k, "s": s})
+             .groupby(["et", "k", "s"]).size().reset_index(name="n"))
+    for _, row in got.iterrows():
+        g = local[local["et"] == row.event_type].sort_values(["k", "s"])
+        cum = g["n"].to_numpy().cumsum()
+        mids = np.ldexp(1.0 + (g["s"].to_numpy() + 0.5) / L,
+                        g["k"].to_numpy())
+        for p, col in [(0.5, "p50_est"), (0.9, "p90_est"),
+                       (0.99, "p99_est")]:
+            rank = math.ceil(p * float(cum[-1]))
+            assert row[col] == mids[np.searchsorted(cum, rank)], col
+
+    # (c) sign split: a mixed negative/zero/positive corpus — each
+    # estimate within the relative-on-|v| bound of the exact
+    # percentile_disc (zeros land on the exact zero counter)
+    rng2 = np.random.default_rng(13)
+    mixed = np.concatenate([
+        -np.exp(rng2.normal(0.0, 2.0, 40_000)),
+        np.zeros(25_000),
+        np.exp(rng2.normal(0.0, 2.0, 35_000)),
+    ])
+    rng2.shuffle(mixed)
+    nm = len(mixed)
+    bad = pa.table({
+        "event_id": pa.array(np.arange(nm, dtype=np.int64)),
+        "ts": pa.array(np.full(nm, 1_600_000_000_000),
+                       type=pa.timestamp("ms")),
+        "user_id": pa.array(np.arange(nm, dtype=np.int64)),
+        "event_type": pa.array(["click"] * nm),
+        "value": pa.array(mixed),
+        "props": pa.array([""] * nm),
+    })
+    d2 = tmp_path / "mixed"
+    d2.mkdir()
+    pq.write_table(bad, d2 / "events.parquet")
+    got2 = events_value_quantiles_sketch(str(d2)).iloc[0]
+    srt = np.sort(mixed)
+    for p, col in [(0.5, "p50_est"), (0.9, "p90_est"),
+                   (0.99, "p99_est")]:
+        exact = srt[math.ceil(p * nm) - 1]
+        assert abs(got2[col] - exact) <= abs(exact) / (2 * L), (
+            col, got2[col], exact)
+    # p50 falls inside the zero store with these proportions: exact 0
+    assert got2["p50_est"] == 0.0
+
+
+def test_docs_weighted_sample_invariance(ray_session, tmp_path):
+    """Efraimidis-Spirakis sample on a 20k-doc synthetic (many Ray
+    blocks, so the per-batch nomination margin is exercised): the
+    distributed result must equal the single-pass exact libm top-k
+    BIT-for-bit, and heavy-weight docs must dominate the sample
+    (E[key] is proportional to 1/w)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.queries import _splitmix64, docs_weighted_sample
+
+    n = 20_000
+    doc_id = np.arange(n, dtype=np.int64)
+    # first half heavy (w=5000), second half light (w=50)
+    n_chars = np.where(doc_id < n // 2, 5000, 50).astype(np.int64)
+    tbl = pa.table({
+        "doc_id": pa.array(doc_id),
+        "text": pa.array(["x"] * n),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array(n_chars),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    got = docs_weighted_sample(str(tmp_path))
+
+    h = _splitmix64(doc_id.view(np.uint64))
+    u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+    key = np.array([-math.log(x) for x in u]) / n_chars.astype(np.float64)
+    ref = (pd.DataFrame({"doc_id": doc_id, "n_chars": n_chars,
+                         "es_key": key})
+           .sort_values(["es_key", "doc_id"]).head(50)
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, ref, check_exact=True)
+
+    heavy = int((got["n_chars"] == 5000).sum())
+    assert heavy >= 45, heavy  # weight ratio 100:1 -> light docs rare

@@ -383,3 +383,45 @@ def test_pagerank_auto_paths_agree(ray_session):
     auto = pagerank_auto(ds).set_index("node")["rank"]     # driver path
     forced = pagerank(ds, num_buckets=3).set_index("node")["rank"]
     assert float((auto - forced).abs().max()) < 1e-12
+
+
+def test_parts_coorder_triangles_bruteforce(ray_session, tmp_path, monkeypatch):
+    """Degree-ordered wedge counting on a synthetic basket table must
+    equal the O(n^3) brute-force triangle count of the co-order graph,
+    on BOTH the broadcast-closure and the forced bucket-semi paths."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.queries import parts_coorder_triangles
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for ok in range(120):
+        parts = rng.choice(40, size=rng.integers(1, 7), replace=False)
+        rows += [(ok, int(p)) for p in parts]
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "lineitem.parquet")
+
+    edges = set()
+    for _, g in df.groupby("l_orderkey"):
+        for a, b in itertools.combinations(sorted(set(g["l_partkey"])), 2):
+            edges.add((a, b))
+    nodes = {p for e in edges for p in e}
+    tri = sum((a, b) in edges and (b, c) in edges and (a, c) in edges
+              for a, b, c in itertools.combinations(sorted(nodes), 3))
+
+    got = parts_coorder_triangles(str(tmp_path))
+    assert got.values.tolist() == [[len(nodes), len(edges), tri]]
+
+    # forced paths: bucket-semi closure, and the bucket-parallel wedge
+    # fold (driver threshold 0) on both closure regimes
+    monkeypatch.setenv("GRAFT_TRI_WEDGE_DRIVER", "0")
+    got2 = parts_coorder_triangles(str(tmp_path))
+    assert got2.values.tolist() == [[len(nodes), len(edges), tri]]
+    monkeypatch.setenv("GRAFT_TRI_BCAST", "1")
+    got3 = parts_coorder_triangles(str(tmp_path))
+    assert got3.values.tolist() == [[len(nodes), len(edges), tri]]
