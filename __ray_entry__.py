@@ -1257,6 +1257,36 @@ def oracle_sql() -> dict[str, str]:
                        AS p99_est
             FROM c GROUP BY event_type, total
             ORDER BY event_type""",
+        # Per-type OLS drift: exact integer sufficient statistics
+        # (whole epoch seconds recentred to 2024-01-01, integer cents)
+        # summed in HUGEINT, solved once in double — the engine folds
+        # the same int64 partials in arbitrary-precision Python ints,
+        # so numerator/denominator are the SAME integers and the final
+        # CAST-to-double divisions are the same two correctly-rounded
+        # ops.
+        "events_type_drift": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(epoch_ms(ts) AS BIGINT) // 1000
+                           - 1704067200 AS dx,
+                       CAST(ROUND(value * 100) AS BIGINT) AS yc
+                FROM events),
+            s AS (
+                SELECT event_type,
+                       COUNT(*) AS n,
+                       SUM(CAST(dx AS HUGEINT)) AS sx,
+                       SUM(CAST(yc AS HUGEINT)) AS sy,
+                       SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+                       SUM(CAST(dx AS HUGEINT) * yc) AS sxy
+                FROM b GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n_events,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)
+                       AS slope_cents_s,
+                   CAST(sy * sxx - sx * sxy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)
+                       AS intercept_cents
+            FROM s ORDER BY event_type""",
         # Efraimidis-Spirakis weighted sample without replacement:
         # same limb-split HUGEINT splitmix64 mirror as events_user_hll
         # keyed on doc_id; u = (CAST(h AS DOUBLE)+1)/2^64 the same

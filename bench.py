@@ -140,6 +140,7 @@ def run_bench() -> dict:
         "ncrf_checkpoint_label_turns", "events_per_user_cap",
         "events_debounce", "events_value_quantiles_sketch",
         "parts_coorder_triangles", "docs_weighted_sample",
+        "events_type_drift",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

@@ -4646,3 +4646,68 @@ def docs_weighted_sample(sf_dir: str, k: int = 50) -> pd.DataFrame:
 
 
 QUERIES["docs_weighted_sample"] = docs_weighted_sample
+
+
+def events_type_drift(sf_dir: str) -> pd.DataFrame:
+    """Per-group streaming OLS — slope/intercept of value over time
+    per event_type — the DRIFT-DETECTION aggregate a telemetry or
+    data-quality pipeline runs over every metric at 100 TB. Shape:
+    the classic mergeable-sufficient-statistics reduction (n, Sx, Sy,
+    Sxx, Sxy) — constant size per (type, batch), summed exactly, the
+    model solved once at the end — never a regression over gathered
+    rows.
+
+    Exactness discipline (the integer-units idiom this repo uses for
+    every order-dependent float sum): x = whole epoch SECONDS
+    recentred to 2024-01-01 (int64), y = integer CENTS via np.rint;
+    per-batch partial sums are int64 with an explicit overflow guard
+    (len * max|dx|^2 < 2^62), the global fold runs in arbitrary-
+    precision Python ints on the driver (partials are batches x
+    bounded types — tiny at any corpus size), and only the final
+    slope/intercept divide in double, float(num)/float(den), the same
+    two correctly-rounded ops as the oracle's
+    CAST(HUGEINT AS DOUBLE)/CAST(HUGEINT AS DOUBLE)."""
+    X0 = 1_704_067_200  # 2024-01-01T00:00:00Z, fixed both sides
+
+    ds = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dx = (df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+              // 1_000_000) - X0
+        yc = np.rint(df["value"].to_numpy(np.float64) * 100.0).astype(
+            np.int64)
+        mx = max(int(np.abs(dx).max(initial=0)), 1)
+        my = max(int(np.abs(yc).max(initial=0)), 1)
+        if len(dx) * max(mx * mx, mx * my) >= 2 ** 62:
+            raise ValueError(
+                "events_type_drift: batch moment sums would overflow "
+                "int64 — recentre X0 nearer the data or shrink batches")
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "dx": dx, "yc": yc,
+                          "sxx": dx * dx, "sxy": dx * yc})
+        agg = g.groupby("event_type").agg(
+            n=("dx", "size"), sx=("dx", "sum"), sy=("yc", "sum"),
+            sxx=("sxx", "sum"), sxy=("sxy", "sum"))
+        return agg.reset_index()
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .to_pandas())
+    rows = []
+    for et, g in parts.groupby("event_type"):
+        # exact big-int fold of the int64 partials
+        n = int(g["n"].sum())
+        sx = sum(int(x) for x in g["sx"])
+        sy = sum(int(x) for x in g["sy"])
+        sxx = sum(int(x) for x in g["sxx"])
+        sxy = sum(int(x) for x in g["sxy"])
+        den = n * sxx - sx * sx
+        rows.append({
+            "event_type": et, "n_events": n,
+            "slope_cents_s": float(n * sxy - sx * sy) / float(den),
+            "intercept_cents": float(sy * sxx - sx * sxy) / float(den),
+        })
+    return (pd.DataFrame(rows).sort_values("event_type")
+            .reset_index(drop=True))
+
+
+QUERIES["events_type_drift"] = events_type_drift
