@@ -312,6 +312,84 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o   ON o.o_custkey   = c.c_custkey
             JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        # q7 analog: volume shipped between nations 3 and 19 by ship
+        # year, both directions; revenue in the same exact integer
+        # units as q1/q5 (the engine folds identical int64 units)
+        "q7_nation_volume": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   {_REVU_2DEC} AS revenue
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+            JOIN customer c ON c.c_custkey   = o.o_custkey
+            JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+            JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+            WHERE (n1.n_nationkey = 3 AND n2.n_nationkey = 19)
+               OR (n1.n_nationkey = 19 AND n2.n_nationkey = 3)
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        # Count-Min sketch point-frequency estimates for the exact
+        # top-k users: the same limb-split HUGEINT splitmix64 mirror
+        # as events_user_hll, parameterized over a seeds CROSS JOIN
+        # (one chain evaluates all 4 hash rows); bucket totals are
+        # exact integer sums, estimate = MIN over rows — bit-exact
+        "events_user_cms": """
+            WITH counts AS (
+                SELECT user_id, COUNT(*) AS cnt
+                FROM events GROUP BY user_id),
+            seeds(sno, s) AS (VALUES
+                (0, CAST(11562461410679940143 AS HUGEINT)),
+                (1, CAST(16646288086500911323 AS HUGEINT)),
+                (2, CAST(10285213230658275043 AS HUGEINT)),
+                (3, CAST(6384245875588680899 AS HUGEINT))),
+            u AS (SELECT c.user_id, c.cnt, sd.sno,
+                         CAST(((CAST(c.user_id AS HUGEINT) + sd.s)
+                               % 18446744073709551616
+                               + 18446744073709551616)
+                              % 18446744073709551616 AS UBIGINT) AS x
+                  FROM counts c CROSS JOIN seeds sd),
+            z0 AS (SELECT user_id, cnt, sno,
+                          CAST((CAST(x AS HUGEINT)
+                                + 11400714819323198485)
+                               % 18446744073709551616 AS UBIGINT) AS z
+                   FROM u),
+            a1 AS (SELECT user_id, cnt, sno,
+                          xor(z, z >> 30) AS a FROM z0),
+            m1 AS (SELECT user_id, cnt, sno,
+                          CAST((CAST(a & 4294967295 AS HUGEINT)
+                                * 13787848793156543929
+                                + ((CAST(a >> 32 AS HUGEINT)
+                                    * 13787848793156543929)
+                                   % 4294967296) * 4294967296)
+                               % 18446744073709551616 AS UBIGINT) AS z
+                   FROM a1),
+            a2 AS (SELECT user_id, cnt, sno,
+                          xor(z, z >> 27) AS a FROM m1),
+            m2 AS (SELECT user_id, cnt, sno,
+                          CAST((CAST(a & 4294967295 AS HUGEINT)
+                                * 10723151780598845931
+                                + ((CAST(a >> 32 AS HUGEINT)
+                                    * 10723151780598845931)
+                                   % 4294967296) * 4294967296)
+                               % 18446744073709551616 AS UBIGINT) AS z
+                   FROM a2),
+            h AS (SELECT user_id, cnt, sno,
+                         xor(z, z >> 31) AS h FROM m2),
+            b AS (SELECT user_id, cnt, sno,
+                         CAST(h % 8192 AS BIGINT) AS bucket FROM h),
+            btot AS (SELECT sno, bucket, SUM(cnt) AS bc
+                     FROM b GROUP BY 1, 2),
+            est AS (SELECT b.user_id,
+                           CAST(MIN(bt.bc) AS BIGINT) AS est_cnt
+                    FROM b JOIN btot bt
+                      ON bt.sno = b.sno AND bt.bucket = b.bucket
+                    GROUP BY 1),
+            topk AS (SELECT user_id, cnt FROM counts
+                     QUALIFY row_number() OVER (
+                         ORDER BY cnt DESC, user_id) <= 20)
+            SELECT t.user_id, t.cnt AS exact_cnt, e.est_cnt
+            FROM topk t JOIN est e ON e.user_id = t.user_id
+            ORDER BY t.cnt DESC, t.user_id""",
         # q10 analog: ORDER + tiebreak on the INTEGER unit sum so
         # 2-dec rounding can never reorder the top-k boundary
         "q10_returned_customers": f"""

@@ -140,7 +140,7 @@ def run_bench() -> dict:
         "ncrf_checkpoint_label_turns", "events_per_user_cap",
         "events_debounce", "events_value_quantiles_sketch",
         "parts_coorder_triangles", "docs_weighted_sample",
-        "events_type_drift",
+        "events_type_drift", "q7_nation_volume", "events_user_cms",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

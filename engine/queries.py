@@ -4711,3 +4711,263 @@ def events_type_drift(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES["events_type_drift"] = events_type_drift
+
+
+def _q7_empty() -> pd.DataFrame:
+    """All-empty blocks lose their columns through Dataset.to_pandas;
+    rebuild the typed empty partial frame."""
+    return pd.DataFrame({"slot": pd.Series([], dtype="int64"),
+                         "rev_units": pd.Series([], dtype="int64"),
+                         "n": pd.Series([], dtype="int64")})
+
+
+def q7_nation_volume(sf_dir: str, nation_a: int = 3, nation_b: int = 19,
+                     small_threshold: int = 5_000_000) -> pd.DataFrame:
+    """TPC-H Q7 shape (volume shipped between two nations by year) —
+    the 6-table join chain a 100-TB fact pipeline runs as: dimension
+    chains collapsed to two tiny broadcast maps (suppkey -> side code,
+    orderkey -> side code, BOTH pre-filtered to the two nations so the
+    broadcast payload is ~2/25 of the key space), the fact table
+    streamed through ONE fused map_batches — searchsorted side-attach,
+    cross-nation filter, exact int64 revenue fold into a bounded
+    (side, year) slot array. Small path (orders under the footer-stat
+    threshold) has ZERO exchanges, like q5; above it the distributed
+    shape runs one packed bucket join on l_orderkey with map-side
+    combiners on both sides. Revenue in exact 1e-4-dollar integer
+    units (_rev_units) so partial-sum order can never move a rounded
+    cent; the oracle sums the identical integer expression."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .joins import bucket_join
+    from .pathlog import note
+
+    YMIN, NYRS = 1970, 130  # fixed slot window, guarded below
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    side_name = {0: names[nation_a], 1: names[nation_b]}
+
+    smap = (
+        pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                      columns=["s_suppkey", "s_nationkey"]).to_pandas())
+    smap = smap[smap["s_nationkey"].isin([nation_a, nation_b])]
+    skeys = np.sort(smap["s_suppkey"].to_numpy(np.int64))
+    scodes = (smap.sort_values("s_suppkey")["s_nationkey"]
+              .to_numpy(np.int64) == nation_b).astype(np.int8)
+    sref = ray.put((skeys, scodes))
+
+    cust = (
+        pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                      columns=["c_custkey", "c_nationkey"]).to_pandas())
+    cust = cust[cust["c_nationkey"].isin([nation_a, nation_b])].assign(
+        ccode=lambda d: (d["c_nationkey"].to_numpy() == nation_b)
+        .astype(np.int8))[["c_custkey", "ccode"]]
+
+    def _attach_supp(t: pa.Table):
+        """side code for each lineitem row; mask of rows whose
+        supplier is in one of the two nations."""
+        sk, sc = ray.get(sref)
+        lk = t["l_suppkey"].to_numpy()
+        pos = np.minimum(np.searchsorted(sk, lk), max(len(sk) - 1, 0))
+        hit = (sk[pos] == lk) if len(sk) else np.zeros(len(lk), bool)
+        return sc, pos, hit
+
+    def _years(t: pa.Table) -> np.ndarray:
+        y = (t["l_shipdate"].to_numpy().astype("datetime64[Y]")
+             .astype(np.int64) + 1970)
+        if len(y) and (y.min() < YMIN or y.max() >= YMIN + NYRS):
+            raise ValueError(
+                "q7: l_shipdate outside the fixed slot window "
+                f"[{YMIN}, {YMIN + NYRS}) — widen YMIN/NYRS")
+        return y
+
+    n_orders = _tbl_rows(sf_dir, "orders")
+    li = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_suppkey", "l_extendedprice",
+              "l_discount", "l_shipdate"])
+
+    if n_orders is not None and n_orders <= small_threshold:
+        note("q7", "fused_broadcast", n_orders=n_orders)
+        omap = (
+            pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                          columns=["o_orderkey", "o_custkey"])
+            .to_pandas()
+            .merge(cust, left_on="o_custkey", right_on="c_custkey")
+            .sort_values("o_orderkey"))
+        okeys = np.ascontiguousarray(omap["o_orderkey"].to_numpy(np.int64))
+        ocodes = np.ascontiguousarray(omap["ccode"].to_numpy(np.int8))
+        oref = ray.put((okeys, ocodes))
+
+        def fused(t: pa.Table) -> pd.DataFrame:
+            sc, spos, shit = _attach_supp(t)
+            ok, oc = ray.get(oref)
+            lk = t["l_orderkey"].to_numpy()
+            opos = np.minimum(np.searchsorted(ok, lk),
+                              max(len(ok) - 1, 0))
+            ohit = (ok[opos] == lk) if len(ok) else np.zeros(len(lk), bool)
+            keep = shit & ohit
+            if not keep.any():
+                return pd.DataFrame({
+                    "slot": pd.Series([], dtype="int64"),
+                    "rev_units": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64")})
+            scode = sc[spos[keep]].astype(np.int64)
+            ccode = oc[opos[keep]].astype(np.int64)
+            cross = scode != ccode
+            if not cross.any():
+                return pd.DataFrame({
+                    "slot": pd.Series([], dtype="int64"),
+                    "rev_units": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64")})
+            year = _years(t)[keep][cross]
+            rev = _rev_units(t["l_extendedprice"].to_numpy()[keep][cross],
+                             t["l_discount"].to_numpy()[keep][cross])
+            slot = scode[cross] * NYRS + (year - YMIN)
+            acc = np.zeros(2 * NYRS, dtype=np.int64)
+            cnt = np.zeros(2 * NYRS, dtype=np.int64)
+            np.add.at(acc, slot, rev)
+            np.add.at(cnt, slot, 1)
+            nz = np.flatnonzero(cnt)
+            return pd.DataFrame({"slot": nz, "rev_units": acc[nz],
+                                 "n": cnt[nz]})
+
+        parts = li.map_batches(fused, batch_format="pyarrow").to_pandas()
+        agg = (_q7_empty() if parts.empty
+               else parts.groupby("slot", as_index=False).sum())
+    else:
+        note("q7", "bucket_join", n_orders=n_orders)
+        cref = ray.put(cust)
+        orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+        def annotate_orders(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            out = df.merge(c, left_on="o_custkey", right_on="c_custkey")
+            return out.rename(columns={"o_orderkey": "l_orderkey"})[
+                ["l_orderkey", "ccode"]]
+
+        orders_ann = orders.map_batches(annotate_orders,
+                                        batch_format="pandas")
+
+        def li_partial(t: pa.Table) -> pd.DataFrame:
+            sc, spos, shit = _attach_supp(t)
+            if not shit.any():
+                return pd.DataFrame({
+                    "l_orderkey": pd.Series([], dtype="int64"),
+                    "scode": pd.Series([], dtype="int64"),
+                    "year": pd.Series([], dtype="int64"),
+                    "rev_units": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64")})
+            df = pd.DataFrame({
+                "l_orderkey": t["l_orderkey"].to_numpy()[shit],
+                "scode": sc[spos[shit]].astype(np.int64),
+                "year": _years(t)[shit],
+                "rev_units": _rev_units(
+                    t["l_extendedprice"].to_numpy()[shit],
+                    t["l_discount"].to_numpy()[shit])})
+            out = (df.groupby(["l_orderkey", "scode", "year"],
+                              as_index=False)
+                   .agg(rev_units=("rev_units", "sum"),
+                        n=("rev_units", "size")))
+            out["n"] = out["n"].astype("int64")
+            return out
+
+        li_part = li.map_batches(li_partial, batch_format="pyarrow")
+
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({
+                    "slot": pd.Series([], dtype="int64"),
+                    "rev_units": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64")})
+            df = df[df["scode"].to_numpy() != df["ccode"].to_numpy()]
+            if df.empty:
+                return pd.DataFrame({
+                    "slot": pd.Series([], dtype="int64"),
+                    "rev_units": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64")})
+            df = df.assign(slot=df["scode"] * NYRS + (df["year"] - YMIN))
+            return (df.groupby("slot", as_index=False)
+                    [["rev_units", "n"]].sum())
+
+        parts = (bucket_join(li_part, orders_ann, on="l_orderkey",
+                             rows_hint=n_orders)
+                 .map_batches(combine, batch_format="pandas")
+                 .to_pandas())
+        agg = (_q7_empty() if parts.empty
+               else parts.groupby("slot", as_index=False).sum())
+
+    agg = agg[agg["n"] > 0]
+    scode = (agg["slot"] // NYRS).to_numpy(np.int64)
+    out = pd.DataFrame({
+        "supp_nation": pd.Series(
+            [side_name[int(s)] for s in scode], dtype="object"),
+        "cust_nation": pd.Series(
+            [side_name[int(1 - s)] for s in scode], dtype="object"),
+        "l_year": (agg["slot"] % NYRS).to_numpy(np.int64) + YMIN,
+        "revenue": np.asarray(_units_2dec(agg["rev_units"].to_numpy()),
+                              dtype=np.float64),
+    })
+    return (out.sort_values(["supp_nation", "cust_nation", "l_year"])
+            .reset_index(drop=True))
+
+
+QUERIES["q7_nation_volume"] = q7_nation_volume
+
+
+_CMS_SEEDS = (0xA0761D6478BD642F, 0xE7037ED1A0B428DB,
+              0x8EBC6AF09C88C6E3, 0x589965CC75374CC3)  # wyhash consts
+_CMS_W = 8192
+
+
+def events_user_cms(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Count-Min sketch point-frequency estimates — the fourth classic
+    mergeable sketch (HLL = distinct, Misra-Gries = heavy hitters,
+    DDSketch = quantiles, THIS = per-key frequency) — reported as
+    exact-vs-estimate rows for the exact top-k users so the oracle can
+    reproduce every number. Per batch: d=4 bucket rows of w=8192 int64
+    counters (bucket_i = splitmix64(user_id + SEED_i) mod w), one
+    constant 256 KiB partial per batch regardless of corpus size,
+    merged by elementwise ADD on the driver — never a key-space
+    shuffle. Estimate = min over the d rows (CMS never underestimates,
+    asserted). The probe set is the provably-exact top-k from the
+    Misra-Gries + recount pass (events_heavy_users_sketch machinery).
+    Everything is integer and the hash is mirrored in HUGEINT SQL, so
+    the oracle is bit-exact."""
+    d, w = len(_CMS_SEEDS), _CMS_W
+
+    ds = _rp(sf_dir, "events", ["user_id"])
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64).view(np.uint64)
+        idx = np.empty(len(uid) * d, dtype=np.int64)
+        for i, s in enumerate(_CMS_SEEDS):
+            h = _splitmix64(uid + np.uint64(s))
+            idx[i * len(uid):(i + 1) * len(uid)] = (
+                i * w + (h % np.uint64(w)).astype(np.int64))
+        counts = np.bincount(idx, minlength=d * w).astype(np.int64)
+        return pd.DataFrame({"cms": [counts.tobytes()]})
+
+    parts = ds.map_batches(sketch, batch_format="pandas").to_pandas()
+    cms = np.zeros(d * w, dtype=np.int64)
+    for b in parts["cms"]:
+        cms += np.frombuffer(b, dtype=np.int64)
+
+    top = events_heavy_users_sketch(sf_dir, k=k)  # exact (user_id, cnt)
+    uid = top["user_id"].to_numpy(np.int64).view(np.uint64)
+    est = np.full(len(uid), np.iinfo(np.int64).max, dtype=np.int64)
+    for i, s in enumerate(_CMS_SEEDS):
+        h = _splitmix64(uid + np.uint64(s))
+        est = np.minimum(
+            est, cms[i * w + (h % np.uint64(w)).astype(np.int64)])
+    exact = top["cnt"].to_numpy(np.int64)
+    if (est < exact).any():
+        raise AssertionError(
+            "events_user_cms: CMS estimate below the exact count — "
+            "the sketch fold is broken")
+    return pd.DataFrame({"user_id": top["user_id"].to_numpy(np.int64),
+                         "exact_cnt": exact, "est_cnt": est})
+
+
+QUERIES["events_user_cms"] = events_user_cms

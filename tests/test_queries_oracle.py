@@ -117,3 +117,52 @@ def test_q10_distributed_branch_matches(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_q7_distributed_branch_matches(ray_session):
+    """small_threshold=0 forces the packed bucket-join branch of q7;
+    result must equal the fused broadcast path (and the oracle)."""
+    from engine.queries import q7_nation_volume
+
+    fast = q7_nation_volume(SF_DIR)
+    dist = q7_nation_volume(SF_DIR, small_threshold=0)
+    import pandas as pd
+
+    assert len(fast) > 0  # pair (3,19) is bidirectional at sf0.001
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_cms_matches_brute_force_with_collisions(ray_session):
+    """Shrink the sketch width so buckets genuinely collide, then
+    check the distributed fold against a single-pass numpy CMS built
+    from the whole table: same counters, estimate = min over rows,
+    and every estimate >= the exact count (CMS one-sided error)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import engine.queries as q
+
+    uid = (pq.read_table(os.path.join(SF_DIR, "events.parquet"),
+                         columns=["user_id"])
+           .to_pandas()["user_id"].to_numpy(np.int64))
+    old_w = q._CMS_W
+    q._CMS_W = 4  # 15 distinct users into 4 buckets: forced collisions
+    try:
+        out = q.events_user_cms(SF_DIR, k=10)
+    finally:
+        q._CMS_W = old_w
+
+    w = 4
+    cms = np.zeros(len(q._CMS_SEEDS) * w, dtype=np.int64)
+    for i, s in enumerate(q._CMS_SEEDS):
+        h = q._splitmix64(uid.view(np.uint64) + np.uint64(s))
+        np.add.at(cms, i * w + (h % np.uint64(w)).astype(np.int64), 1)
+    probe = out["user_id"].to_numpy(np.int64).view(np.uint64)
+    est = np.full(len(probe), np.iinfo(np.int64).max, dtype=np.int64)
+    for i, s in enumerate(q._CMS_SEEDS):
+        h = q._splitmix64(probe + np.uint64(s))
+        est = np.minimum(
+            est, cms[i * w + (h % np.uint64(w)).astype(np.int64)])
+    assert (out["est_cnt"].to_numpy() == est).all()
+    assert (out["est_cnt"].to_numpy() >= out["exact_cnt"].to_numpy()).all()
+    assert (out["est_cnt"].to_numpy() > out["exact_cnt"].to_numpy()).any()
