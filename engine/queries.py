@@ -4701,11 +4701,16 @@ def events_type_drift(sf_dir: str) -> pd.DataFrame:
         sxx = sum(int(x) for x in g["sxx"])
         sxy = sum(int(x) for x in g["sxy"])
         den = n * sxx - sx * sx
-        rows.append({
-            "event_type": et, "n_events": n,
-            "slope_cents_s": float(n * sxy - sx * sy) / float(den),
-            "intercept_cents": float(sy * sxx - sx * sxy) / float(den),
-        })
+        if den == 0:
+            # single event / constant timestamp: the oracle's
+            # double-division by zero yields NULL
+            slope, intercept = float("nan"), float("nan")
+        else:
+            slope = float(n * sxy - sx * sy) / float(den)
+            intercept = float(sy * sxx - sx * sxy) / float(den)
+        rows.append({"event_type": et, "n_events": n,
+                     "slope_cents_s": slope,
+                     "intercept_cents": intercept})
     return (pd.DataFrame(rows).sort_values("event_type")
             .reset_index(drop=True))
 

@@ -166,3 +166,36 @@ def test_cms_matches_brute_force_with_collisions(ray_session):
     assert (out["est_cnt"].to_numpy() == est).all()
     assert (out["est_cnt"].to_numpy() >= out["exact_cnt"].to_numpy()).all()
     assert (out["est_cnt"].to_numpy() > out["exact_cnt"].to_numpy()).any()
+
+
+def test_drift_degenerate_group_matches_oracle(ray_session, tmp_path):
+    """A type with one event (or a constant timestamp) has a zero OLS
+    denominator: the oracle's double division yields NULL, the engine
+    must emit NaN, not raise."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from engine.queries import events_type_drift
+
+    ts = np.array(["2024-01-01T00:00:01", "2024-01-02T00:00:02",
+                   "2024-01-03T00:00:03", "2024-01-05T00:00:00",
+                   "2024-01-05T00:00:00"], dtype="datetime64[us]")
+    t = pa.table({
+        "event_type": ["a", "a", "a", "single", "const"],
+        "ts": ts[[0, 1, 2, 3, 3]],
+        "value": [1.25, 2.50, 3.75, 9.99, 7.00],
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = events_type_drift(str(tmp_path))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"'{tmp_path}/events.parquet'")
+    want = con.sql(e.oracle_sql()["events_type_drift"]).df()
+    assert got["slope_cents_s"].isna().tolist() == \
+        want["slope_cents_s"].isna().tolist()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want[got.columns], check_exact=False,
+        rtol=0, atol=0)
