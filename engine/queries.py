@@ -4510,6 +4510,12 @@ def parts_coorder_triangles(sf_dir: str) -> pd.DataFrame:
         dk, dv = ray.get(ref)
         u = df["u"].to_numpy(np.int64)
         v = df["v"].to_numpy(np.int64)
+        if len(u) and (max(int(u.max()), int(v.max())) >= 2 ** 31
+                       or min(int(u.min()), int(v.min())) < 0):
+            raise ValueError(
+                "parts_coorder_triangles: node ids outside [0, 2^31) "
+                "break the packed (u<<32)|v closure key — remap ids "
+                "first (dictionary-encode the node column)")
         du = dv[np.searchsorted(dk, u)]
         dvg = dv[np.searchsorted(dk, v)]
         # src = (deg, id)-smaller endpoint
