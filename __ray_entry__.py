@@ -1577,6 +1577,113 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS cnt
             FROM events GROUP BY user_id
             ORDER BY cnt DESC, user_id LIMIT 20""",
+        # --- second-wave TPC-H analogs (engine/tpch2.py) ---
+        # Q4 shape: "late" = shipped >= orderdate + 30 days (schema
+        # has no commit/receipt dates)
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate <  DATE '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate >= o_orderdate
+                                              + INTERVAL 30 DAY)
+            GROUP BY 1 ORDER BY 1""",
+        # Q12 shape: l_returnflag stands in for shipmode
+        "q12_priority_by_flag": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority
+                                     IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority
+                                     IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= DATE '1997-01-01'
+              AND l_shipdate <  DATE '1998-01-01'
+            GROUP BY 1 ORDER BY 1""",
+        "q13_order_distribution": """
+            SELECT c_count, custdist FROM (
+                SELECT c_count, COUNT(*) AS custdist FROM (
+                    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                    FROM customer LEFT JOIN orders
+                      ON c_custkey = o_custkey
+                     AND o_orderpriority <> '5-LOW'
+                    GROUP BY c_custkey)
+                GROUP BY c_count)
+            ORDER BY custdist DESC, c_count DESC""",
+        # exact integer unit sums cast to DOUBLE before the divide —
+        # bit-identical to the engine's 100.0 * p / t
+        "q14_promo_revenue": f"""
+            SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                         THEN {_REVU} ELSE 0 END)
+                                AS DOUBLE)
+                         / CAST(SUM({_REVU}) AS DOUBLE) AS promo_pct
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= DATE '1997-09-01'
+              AND l_shipdate <  DATE '1997-10-01'""",
+        # the small-quantity test is exact integer cross-multiply:
+        # q100 * cnt * 2 < 1 * sum_q100 (frac = 1/2), mirroring the
+        # engine verbatim so no float boundary can flip a row
+        "q17_small_qty_revenue": """
+            WITH cand AS (
+                SELECT p_partkey FROM part
+                WHERE p_type = 'SMALL' AND p_size < 25),
+            stats AS (
+                SELECT l_partkey,
+                       SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                           AS sum_q100,
+                       COUNT(*) AS cnt
+                FROM lineitem JOIN cand ON p_partkey = l_partkey
+                GROUP BY 1)
+            SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100)
+                                 AS BIGINT)) AS DOUBLE) / 100 / 7
+                       AS avg_yearly
+            FROM lineitem l
+            JOIN stats s ON s.l_partkey = l.l_partkey
+            WHERE CAST(ROUND(l.l_quantity * 100) AS BIGINT)
+                      * s.cnt * 2 < s.sum_q100""",
+        "q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY 1
+                HAVING SUM(l_quantity) > 180)
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, big.sum_qty
+            FROM big
+            JOIN orders o   ON o.o_orderkey = big.l_orderkey
+            JOIN customer c ON c.c_custkey  = o.o_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+            LIMIT 100""",
+        "q19_bracket_revenue": f"""
+            SELECT {_REVU_2DEC} AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)""",
+        # above-average test mirrored as exact integer cross-multiply
+        # cents * N > S over the positive-balance population
+        "q22_idle_balances": """
+            WITH pos AS (
+                SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s,
+                       COUNT(*) AS n
+                FROM customer WHERE c_acctbal > 0)
+            SELECT c.c_mktsegment, COUNT(*) AS numcust,
+                   CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                        AS DOUBLE) / 100 AS totacctbal
+            FROM customer c, pos
+            WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * pos.n
+                      > pos.s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c.c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY 1 ORDER BY 1""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # kg_triples, kg_mentions_all, kg_dep_morphs, kg_top_entities,
         # kg_pagerank, ncrf_label_turns, ncrf_train_eval,

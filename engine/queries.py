@@ -4982,3 +4982,10 @@ def events_user_cms(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
 
 QUERIES["events_user_cms"] = events_user_cms
+
+# second-wave TPC-H analogs (Q4/Q12/Q13/Q14/Q17/Q18/Q19/Q22) — module
+# import is deferred to the bottom so tpch2's function-level
+# `from .queries import ...` helpers are already defined
+from .tpch2 import TPCH2_QUERIES as _TPCH2  # noqa: E402
+
+QUERIES.update(_TPCH2)

@@ -1,0 +1,761 @@
+"""Second wave of TPC-H-shaped analogs (Q4/Q12/Q13/Q14/Q17/Q18/Q19/Q22)
+over the /root/testdata star schema, adapted to its columns (no
+commitdate/receiptdate/shipmode/container/phone — predicates swap to
+shipdate-vs-orderdate lag, returnflag, p_type/p_size, mktsegment while
+keeping each query's JOIN/AGG shape intact).
+
+Every query follows the house dual-path idiom (engine/queries.py q7):
+below a footer-row threshold the dimension side ships as ONE ray.put
+sorted-array broadcast and the fact table streams through a single
+fused map_batches (zero exchanges); above it the same semantics run as
+map-side partial aggregation + one packed bucket join
+(engine/joins.bucket_join), so per-bucket heap stays bounded at any
+corpus size. All money/quantity math is exact-integer (cents or
+1e-4-dollar units) so partial-sum order can never move a rounded
+cent — each oracle in __ray_entry__ sums the identical integer
+expression.
+
+Reference shapes: TPC-H spec queries 4/12/13/14/17/18/19/22 (public);
+alignment/eval discipline follows the repo conventions from
+engine/queries.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _days(arr) -> np.ndarray:
+    """timestamp[us] -> int64 days since epoch (dates in this corpus
+    are midnight-aligned, so the floor is exact)."""
+    return np.asarray(arr).astype("datetime64[D]").astype(np.int64)
+
+
+def _day(s: str) -> int:
+    return int(np.datetime64(s, "D").astype(np.int64))
+
+
+def _put_sorted(df: pd.DataFrame, key: str, *vals: str):
+    """ray.put a (sorted_keys, val_arrays...) broadcast tuple — the
+    searchsorted side-attach payload every small path here uses."""
+    import ray
+
+    d = df.sort_values(key)
+    keys = np.ascontiguousarray(d[key].to_numpy(np.int64))
+    arrs = tuple(np.ascontiguousarray(d[v].to_numpy()) for v in vals)
+    return ray.put((keys,) + arrs)
+
+
+def _probe(keys: np.ndarray, sorted_keys: np.ndarray):
+    """searchsorted membership probe: (positions, hit_mask)."""
+    pos = np.minimum(np.searchsorted(sorted_keys, keys),
+                     max(len(sorted_keys) - 1, 0))
+    hit = (sorted_keys[pos] == keys) if len(sorted_keys) else np.zeros(
+        len(keys), bool)
+    return pos, hit
+
+
+# --------------------------------------------------------------- Q4 --
+def q4_order_priority(sf_dir: str, date_from: str = "1996-01-01",
+                      date_to: str = "1996-04-01", late_days: int = 30,
+                      small_threshold: int = 5_000_000) -> pd.DataFrame:
+    """TPC-H Q4 shape: count orders per priority placed in a quarter
+    that have at least one LATE lineitem (this schema has no
+    commitdate/receiptdate, so "late" = shipped >= orderdate +
+    late_days). EXISTS folds to max(l_shipdate) per order, so the
+    lineitem side pre-aggregates map-side to one (orderkey, max_ship)
+    row per batch-key before any exchange.
+
+    Small path (orders footer under threshold): quarter orders become
+    a sorted (orderkey -> orderdate_days) broadcast; ONE fused
+    lineitem pass emits per-batch distinct qualifying orderkeys
+    (bounded by the quarter's orders), folded on the driver. Large
+    path: quarter-filtered orders stream through a packed bucket join
+    against the lineitem max-shipdate partials; the per-bucket merge
+    applies the EXISTS predicate and emits 5-slot priority counts."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .joins import bucket_join
+    from .pathlog import note
+    from .queries import _rp, _tbl_rows
+
+    lo, hi = _day(date_from), _day(date_to)
+    n_orders = _tbl_rows(sf_dir, "orders")
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    if n_orders is not None and n_orders <= small_threshold:
+        note("q4", "fused_broadcast", n_orders=n_orders)
+        o = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        ).to_pandas()
+        o = o.assign(odays=_days(o["o_orderdate"]))
+        o = o[(o["odays"] >= lo) & (o["odays"] < hi)]
+        ref = _put_sorted(o, "o_orderkey", "odays")
+
+        def qualifying(t: pa.Table) -> pd.DataFrame:
+            ok, od = ray.get(ref)
+            lk = t["l_orderkey"].to_numpy()
+            pos, hit = _probe(lk, ok)
+            late = hit & (_days(t["l_shipdate"].to_numpy())
+                          >= od[pos] + late_days)
+            return pd.DataFrame(
+                {"o_orderkey": np.unique(lk[late]).astype(np.int64)})
+
+        parts = li.map_batches(qualifying, batch_format="pyarrow")
+        q = np.unique(np.concatenate(
+            [b["o_orderkey"].to_numpy()
+             for b in parts.iter_batches(batch_format="pandas",
+                                         batch_size=None)]
+            or [np.empty(0, np.int64)]))
+        counts = (o[o["o_orderkey"].isin(q)]
+                  .groupby("o_orderpriority").size())
+    else:
+        note("q4", "bucket_join", n_orders=n_orders)
+        orders = _rp(sf_dir, "orders",
+                     ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+        def window(df: pd.DataFrame) -> pd.DataFrame:
+            d = _days(df["o_orderdate"].to_numpy())
+            keep = (d >= lo) & (d < hi)
+            return pd.DataFrame({
+                "l_orderkey": df["o_orderkey"].to_numpy()[keep],
+                "odays": d[keep],
+                "prio": df["o_orderpriority"].to_numpy()[keep]})
+
+        o_win = orders.map_batches(window, batch_format="pandas")
+
+        def max_ship(t: pa.Table) -> pd.DataFrame:
+            df = pd.DataFrame({
+                "l_orderkey": t["l_orderkey"].to_numpy(),
+                "sdays": _days(t["l_shipdate"].to_numpy())})
+            return df.groupby("l_orderkey", as_index=False)["sdays"].max()
+
+        li_part = li.map_batches(max_ship, batch_format="pyarrow")
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({"prio": pd.Series([], dtype="object"),
+                                     "n": pd.Series([], dtype="int64")})
+            g = (df.groupby(["l_orderkey", "prio", "odays"],
+                            as_index=False)["sdays"].max())
+            g = g[g["sdays"] >= g["odays"] + late_days]
+            out = g.groupby("prio", as_index=False).size()
+            return out.rename(columns={"size": "n"})
+
+        parts = (bucket_join(o_win, li_part, on="l_orderkey",
+                             rows_hint=n_orders)
+                 .map_batches(fold, batch_format="pandas").to_pandas())
+        counts = (pd.Series([], dtype="int64") if parts.empty
+                  else parts.groupby("prio")["n"].sum())
+
+    out = counts.rename_axis("o_orderpriority").reset_index(
+        name="order_count")
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# -------------------------------------------------------------- Q12 --
+def q12_priority_by_flag(sf_dir: str, year: int = 1997,
+                         small_threshold: int = 5_000_000) -> pd.DataFrame:
+    """TPC-H Q12 shape: lineitems shipped in `year`, classified by the
+    parent order's priority (URGENT/HIGH vs rest), counted per
+    l_returnflag (the schema's stand-in for shipmode). The fact scan
+    folds to a 6-slot (flag x high/low) array per batch — the exchange
+    moves 6 ints per batch regardless of corpus size.
+
+    Small path: orders ship as a sorted (orderkey -> is_high int8)
+    broadcast; a miss raises (FK violation — every lineitem must have
+    an order, same guard as q10). Large path: per-batch
+    (orderkey, flag) count partials bucket-join the priority map."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .joins import bucket_join
+    from .pathlog import note
+    from .queries import _rp, _tbl_rows
+
+    lo, hi = _day(f"{year}-01-01"), _day(f"{year + 1}-01-01")
+    HIGH = ("1-URGENT", "2-HIGH")
+    n_orders = _tbl_rows(sf_dir, "orders")
+    li = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def _flag_codes(arr) -> np.ndarray:
+        # returnflag domain is {A, N, R} — first-byte code, guarded
+        c = np.frombuffer("".join(arr).encode("ascii"), dtype=np.uint8)
+        code = np.searchsorted(np.frombuffer(b"ANR", dtype=np.uint8), c)
+        if len(c) and not (np.frombuffer(b"ANR", dtype=np.uint8)[
+                np.minimum(code, 2)] == c).all():
+            raise ValueError("q12: unexpected l_returnflag value")
+        return code.astype(np.int64)
+
+    if n_orders is not None and n_orders <= small_threshold:
+        note("q12", "fused_broadcast", n_orders=n_orders)
+        o = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderpriority"]).to_pandas()
+        o["is_high"] = o["o_orderpriority"].isin(HIGH).astype(np.int8)
+        ref = _put_sorted(o, "o_orderkey", "is_high")
+
+        def fused(t: pa.Table) -> pd.DataFrame:
+            ok, ih = ray.get(ref)
+            d = _days(t["l_shipdate"].to_numpy())
+            keep = (d >= lo) & (d < hi)
+            lk = t["l_orderkey"].to_numpy()[keep]
+            if not len(lk):
+                return pd.DataFrame({"slot": pd.Series([], dtype="int64"),
+                                     "n": pd.Series([], dtype="int64")})
+            pos, hit = _probe(lk, ok)
+            if not hit.all():
+                raise ValueError(
+                    "q12: lineitem orderkey missing from orders (FK)")
+            flag = _flag_codes(
+                t["l_returnflag"].to_pylist())[keep.nonzero()[0]]
+            slot = flag * 2 + ih[pos].astype(np.int64)
+            cnt = np.bincount(slot, minlength=6).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            return pd.DataFrame({"slot": nz, "n": cnt[nz]})
+
+        parts = li.map_batches(fused, batch_format="pyarrow").to_pandas()
+    else:
+        note("q12", "bucket_join", n_orders=n_orders)
+        orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+        def prio_map(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "l_orderkey": df["o_orderkey"].to_numpy(),
+                "is_high": df["o_orderpriority"].isin(HIGH)
+                .to_numpy().astype(np.int8)})
+
+        o_map = orders.map_batches(prio_map, batch_format="pandas")
+
+        def li_partial(t: pa.Table) -> pd.DataFrame:
+            d = _days(t["l_shipdate"].to_numpy())
+            keep = (d >= lo) & (d < hi)
+            if not keep.any():
+                return pd.DataFrame({
+                    "l_orderkey": pd.Series([], dtype="int64"),
+                    "flag": pd.Series([], dtype="int64"),
+                    "cnt": pd.Series([], dtype="int64")})
+            df = pd.DataFrame({
+                "l_orderkey": t["l_orderkey"].to_numpy()[keep],
+                "flag": _flag_codes(
+                    t["l_returnflag"].to_pylist())[keep.nonzero()[0]]})
+            out = (df.groupby(["l_orderkey", "flag"], as_index=False)
+                   .size().rename(columns={"size": "cnt"}))
+            out["cnt"] = out["cnt"].astype("int64")
+            return out
+
+        li_part = li.map_batches(li_partial, batch_format="pyarrow")
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({"slot": pd.Series([], dtype="int64"),
+                                     "n": pd.Series([], dtype="int64")})
+            df = df.assign(
+                slot=df["flag"].to_numpy(np.int64) * 2
+                + df["is_high"].to_numpy(np.int64))
+            return (df.groupby("slot", as_index=False)["cnt"].sum()
+                    .rename(columns={"cnt": "n"}))
+
+        parts = (bucket_join(li_part, o_map, on="l_orderkey",
+                             rows_hint=n_orders)
+                 .map_batches(fold, batch_format="pandas").to_pandas())
+
+    acc = np.zeros(6, dtype=np.int64)
+    if not parts.empty:
+        np.add.at(acc, parts["slot"].to_numpy(np.int64),
+                  parts["n"].to_numpy(np.int64))
+    flags = np.array(["A", "N", "R"])
+    present = acc.reshape(3, 2).sum(axis=1) > 0
+    return pd.DataFrame({
+        "l_returnflag": flags[present],
+        "high_line_count": acc.reshape(3, 2)[present, 1],
+        "low_line_count": acc.reshape(3, 2)[present, 0]})
+
+
+# -------------------------------------------------------------- Q13 --
+def q13_order_distribution(sf_dir: str,
+                           exclude_priority: str = "5-LOW") -> pd.DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    (customers with zero kept via the footer row count — every
+    o_custkey is a valid customer FK, so zero-customers = total minus
+    distinct custkeys seen). The per-custkey count uses
+    shuffle.grouped_sum (corpus-scaled key space — Ray's hash
+    aggregate pays per-group overhead, see that docstring); the
+    count-of-counts histogram folds per batch to at most
+    max_orders_per_customer rows, driver-merged."""
+    from .queries import _rp, _tbl_rows
+    from .shuffle import grouped_sum
+
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def ones(t: pa.Table) -> pd.DataFrame:
+        keep = pc.not_equal(t["o_orderpriority"],
+                            exclude_priority).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "o_custkey": t["o_custkey"].to_numpy()[keep],
+            "cnt": np.ones(int(keep.sum()), dtype=np.int64)})
+
+    per_cust = grouped_sum(
+        orders.map_batches(ones, batch_format="pyarrow"),
+        keys="o_custkey", sum_cols="cnt",
+        rows_hint=_tbl_rows(sf_dir, "orders"))
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        h = df.groupby("cnt", as_index=False).size()
+        return pd.DataFrame({"c_count": h["cnt"].to_numpy(np.int64),
+                             "custdist": h["size"].to_numpy(np.int64)})
+
+    parts = per_cust.map_batches(hist, batch_format="pandas").to_pandas()
+    agg = (parts.groupby("c_count", as_index=False)["custdist"].sum()
+           if not parts.empty
+           else pd.DataFrame({"c_count": pd.Series([], dtype="int64"),
+                              "custdist": pd.Series([], dtype="int64")}))
+    n_cust = _tbl_rows(sf_dir, "customer") or 0
+    zero = n_cust - int(agg["custdist"].sum())
+    if zero > 0:
+        agg = pd.concat(
+            [agg, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True)
+    agg["c_count"] = agg["c_count"].astype("int64")
+    agg["custdist"] = agg["custdist"].astype("int64")
+    return (agg.sort_values(["custdist", "c_count"],
+                            ascending=[False, False])
+            .reset_index(drop=True))
+
+
+# -------------------------------------------------------------- Q14 --
+def q14_promo_revenue(sf_dir: str, month: str = "1997-09",
+                      promo_type: str = "PROMO",
+                      small_threshold: int = 5_000_000) -> pd.DataFrame:
+    """TPC-H Q14 shape: share of a month's revenue from promo parts.
+    Small path: promo partkeys ship as one sorted-array broadcast and
+    the month's lineitems fold to TWO int64 sums per batch (promo /
+    total, exact 1e-4-dollar units). Large path: per-batch
+    (partkey -> rev_units) partials bucket-join the part type map.
+    The final ratio divides the two exact integer sums in float64 —
+    the oracle casts the identical integer sums to DOUBLE, so the
+    quotient is bit-identical."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .joins import bucket_join
+    from .pathlog import note
+    from .queries import _rp, _rev_units, _tbl_rows
+
+    m0 = np.datetime64(month, "M")
+    lo = int(m0.astype("datetime64[D]").astype(np.int64))
+    hi = int((m0 + 1).astype("datetime64[D]").astype(np.int64))
+    n_part = _tbl_rows(sf_dir, "part")
+    li = _rp(sf_dir, "lineitem",
+             ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    if n_part is not None and n_part <= small_threshold:
+        note("q14", "fused_broadcast", n_part=n_part)
+        p = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                          columns=["p_partkey", "p_type"]).to_pandas()
+        promo = np.sort(p.loc[p["p_type"] == promo_type, "p_partkey"]
+                        .to_numpy(np.int64))
+        ref = ray.put(promo)
+
+        def fused(t: pa.Table) -> pd.DataFrame:
+            pk = ray.get(ref)
+            d = _days(t["l_shipdate"].to_numpy())
+            keep = (d >= lo) & (d < hi)
+            if not keep.any():
+                return pd.DataFrame(
+                    {"promo_units": pd.Series([], dtype="int64"),
+                     "total_units": pd.Series([], dtype="int64")})
+            rev = _rev_units(t["l_extendedprice"].to_numpy()[keep],
+                             t["l_discount"].to_numpy()[keep])
+            _, hit = _probe(t["l_partkey"].to_numpy()[keep], pk)
+            return pd.DataFrame({"promo_units": [int(rev[hit].sum())],
+                                 "total_units": [int(rev.sum())]})
+
+        parts = li.map_batches(fused, batch_format="pyarrow").to_pandas()
+        promo_u = int(parts["promo_units"].sum())
+        total_u = int(parts["total_units"].sum())
+    else:
+        note("q14", "bucket_join", n_part=n_part)
+        part = _rp(sf_dir, "part", ["p_partkey", "p_type"])
+
+        def type_map(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "l_partkey": df["p_partkey"].to_numpy(),
+                "is_promo": (df["p_type"].to_numpy() == promo_type)
+                .astype(np.int8)})
+
+        p_map = part.map_batches(type_map, batch_format="pandas")
+
+        def li_partial(t: pa.Table) -> pd.DataFrame:
+            d = _days(t["l_shipdate"].to_numpy())
+            keep = (d >= lo) & (d < hi)
+            if not keep.any():
+                return pd.DataFrame({
+                    "l_partkey": pd.Series([], dtype="int64"),
+                    "rev_units": pd.Series([], dtype="int64")})
+            df = pd.DataFrame({
+                "l_partkey": t["l_partkey"].to_numpy()[keep],
+                "rev_units": _rev_units(
+                    t["l_extendedprice"].to_numpy()[keep],
+                    t["l_discount"].to_numpy()[keep])})
+            return df.groupby("l_partkey", as_index=False).sum()
+
+        li_part = li.map_batches(li_partial, batch_format="pyarrow")
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame(
+                    {"promo_units": pd.Series([], dtype="int64"),
+                     "total_units": pd.Series([], dtype="int64")})
+            rev = df["rev_units"].to_numpy(np.int64)
+            ip = df["is_promo"].to_numpy() == 1
+            return pd.DataFrame({"promo_units": [int(rev[ip].sum())],
+                                 "total_units": [int(rev.sum())]})
+
+        parts = (bucket_join(li_part, p_map, on="l_partkey",
+                             rows_hint=n_part)
+                 .map_batches(fold, batch_format="pandas").to_pandas())
+        promo_u = int(parts["promo_units"].sum())
+        total_u = int(parts["total_units"].sum())
+
+    pct = (100.0 * promo_u / total_u) if total_u else float("nan")
+    return pd.DataFrame({"promo_pct": [pct]})
+
+
+# -------------------------------------------------------------- Q17 --
+def q17_small_qty_revenue(sf_dir: str, part_type: str = "SMALL",
+                          max_size: int = 25,
+                          frac_num: int = 1, frac_den: int = 2
+                          ) -> pd.DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below frac x the part's mean quantity) for a filtered part
+    family were dropped. Two fused lineitem passes, zero exchanges:
+    pass A folds (sum_q100, cnt) per candidate partkey map-side
+    (partials bounded by candidates x blocks, driver-merged); pass B
+    re-scans with the per-part thresholds broadcast and sums cents.
+    The avg comparison is EXACT integer cross-multiplication —
+    q100 * cnt * den < num * sum_q100 — mirrored verbatim in the
+    oracle, so no float boundary can flip a row."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .pathlog import note
+    from .queries import _rp
+
+    p = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey", "p_type", "p_size"]).to_pandas()
+    cand = np.sort(p.loc[(p["p_type"] == part_type)
+                         & (p["p_size"] < max_size), "p_partkey"]
+                   .to_numpy(np.int64))
+    note("q17", "two_pass_broadcast", n_cand=len(cand))
+    cref = ray.put(cand)
+
+    li = _rp(sf_dir, "lineitem",
+             ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def pass_a(t: pa.Table) -> pd.DataFrame:
+        ck = ray.get(cref)
+        pk = t["l_partkey"].to_numpy()
+        _, hit = _probe(pk, ck)
+        if not hit.any():
+            return pd.DataFrame({
+                "l_partkey": pd.Series([], dtype="int64"),
+                "sum_q100": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64")})
+        q100 = np.rint(t["l_quantity"].to_numpy()[hit] * 100
+                       ).astype(np.int64)
+        df = pd.DataFrame({"l_partkey": pk[hit], "sum_q100": q100,
+                           "cnt": np.ones(len(q100), dtype=np.int64)})
+        return df.groupby("l_partkey", as_index=False).sum()
+
+    partials = li.map_batches(pass_a, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"avg_yearly": [float("nan")]})
+    stats = partials.groupby("l_partkey", as_index=False).sum()
+    sref = _put_sorted(stats, "l_partkey", "sum_q100", "cnt")
+
+    def pass_b(t: pa.Table) -> pd.DataFrame:
+        sk, sq, sc = ray.get(sref)
+        pk = t["l_partkey"].to_numpy()
+        pos, hit = _probe(pk, sk)
+        if not hit.any():
+            return pd.DataFrame({"cents": pd.Series([], dtype="int64")})
+        q100 = np.rint(t["l_quantity"].to_numpy()[hit] * 100
+                       ).astype(np.int64)
+        small = (q100 * sc[pos[hit]] * frac_den
+                 < frac_num * sq[pos[hit]])
+        cents = np.rint(t["l_extendedprice"].to_numpy()[hit][small] * 100
+                        ).astype(np.int64)
+        return pd.DataFrame({"cents": [int(cents.sum())]})
+
+    cents = int(li.map_batches(pass_b, batch_format="pyarrow")
+                .to_pandas()["cents"].sum())
+    return pd.DataFrame({"avg_yearly": [float(cents) / 100 / 7]})
+
+
+# -------------------------------------------------------------- Q18 --
+def q18_large_orders(sf_dir: str, min_qty: int = 180,
+                     k: int = 100) -> pd.DataFrame:
+    """TPC-H Q18 shape: top-k largest-volume orders. The HAVING
+    sum(l_quantity) > min_qty group-by runs as shuffle.grouped_sum
+    over the corpus-scaled orderkey space; survivors (rare by
+    construction) come to the driver, and the orders/customer
+    attribute lookups run as fused broadcast probes over the two
+    scans — only surviving keys ship. Quantities are integral doubles
+    (sum is exact in float64); ordering is (totalprice DESC, orderdate
+    ASC, orderkey ASC) with the explicit key tiebreak so the driver
+    hash is order-stable."""
+    from .pathlog import note
+    from .queries import _rp, _tbl_rows
+    from .shuffle import grouped_sum
+    import ray
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    per_order = grouped_sum(li, keys="l_orderkey", sum_cols="l_quantity",
+                            rows_hint=_tbl_rows(sf_dir, "lineitem"))
+
+    def big(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["l_quantity"] > min_qty]
+
+    surv = per_order.map_batches(big, batch_format="pandas").to_pandas()
+    note("q18", "grouped_sum+broadcast_probe", n_surv=len(surv))
+    if surv.empty:
+        return pd.DataFrame({
+            "c_name": pd.Series([], dtype="object"),
+            "c_custkey": pd.Series([], dtype="int64"),
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "o_totalprice": pd.Series([], dtype="float64"),
+            "sum_qty": pd.Series([], dtype="float64")})
+    okeys = np.sort(surv["l_orderkey"].to_numpy(np.int64))
+    oref = ray.put(okeys)
+
+    orders = _rp(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def pick_orders(t: pa.Table) -> pd.DataFrame:
+        ok = ray.get(oref)
+        _, hit = _probe(t["o_orderkey"].to_numpy(), ok)
+        return t.to_pandas()[hit]
+
+    od = orders.map_batches(pick_orders,
+                            batch_format="pyarrow").to_pandas()
+    ckeys = np.sort(od["o_custkey"].unique().astype(np.int64))
+    cref = ray.put(ckeys)
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def pick_cust(t: pa.Table) -> pd.DataFrame:
+        ck = ray.get(cref)
+        _, hit = _probe(t["c_custkey"].to_numpy(), ck)
+        return t.to_pandas()[hit]
+
+    cd = cust.map_batches(pick_cust, batch_format="pyarrow").to_pandas()
+
+    out = (od.merge(surv.rename(columns={"l_orderkey": "o_orderkey",
+                                         "l_quantity": "sum_qty"}),
+                    on="o_orderkey")
+           .merge(cd, left_on="o_custkey", right_on="c_custkey"))
+    out = (out.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                           ascending=[False, True, True])
+           .head(k).reset_index(drop=True))
+    out["sum_qty"] = out["sum_qty"].astype("float64")
+    return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty"]]
+
+
+# -------------------------------------------------------------- Q19 --
+_Q19_BRANCHES = (  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#12", 1, 15, 1, 11),
+    ("Brand#23", 1, 25, 10, 20),
+    ("Brand#34", 1, 35, 20, 30),
+)
+
+
+def q19_bracket_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape: revenue from an OR of three (brand, size
+    range, quantity range) brackets. The part side prefilters to the
+    three brands (a constant fraction of the dimension) and ships as
+    ONE sorted broadcast of (partkey, branch_code, size); the fact
+    scan evaluates all three brackets vectorized and folds to one
+    int64 revenue per batch. No exchange at any scale — the broadcast
+    is bounded by the brand selectivity, not the corpus."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .pathlog import note
+    from .queries import _rp, _rev_units, _units_2dec
+
+    p = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    brands = {b: i for i, (b, *_) in enumerate(_Q19_BRANCHES)}
+    p = p[p["p_brand"].isin(brands)].assign(
+        code=lambda d: d["p_brand"].map(brands).astype(np.int64))
+    note("q19", "fused_broadcast", n_cand=len(p))
+    ref = _put_sorted(p, "p_partkey", "code", "p_size")
+    sizes = np.array([(lo, hi) for _, lo, hi, _, _ in _Q19_BRANCHES],
+                     dtype=np.int64)
+    qtys = np.array([(lo, hi) for _, _, _, lo, hi in _Q19_BRANCHES],
+                    dtype=np.int64)
+
+    li = _rp(sf_dir, "lineitem",
+             ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def fused(t: pa.Table) -> pd.DataFrame:
+        pk, code, size = ray.get(ref)
+        lk = t["l_partkey"].to_numpy()
+        pos, hit = _probe(lk, pk)
+        if not hit.any():
+            return pd.DataFrame({"rev_units": pd.Series([], dtype="int64")})
+        c = code[pos[hit]]
+        s = size[pos[hit]].astype(np.int64)
+        q = t["l_quantity"].to_numpy()[hit]
+        ok = ((s >= sizes[c, 0]) & (s <= sizes[c, 1])
+              & (q >= qtys[c, 0]) & (q <= qtys[c, 1]))
+        if not ok.any():
+            return pd.DataFrame({"rev_units": pd.Series([], dtype="int64")})
+        rev = _rev_units(t["l_extendedprice"].to_numpy()[hit][ok],
+                         t["l_discount"].to_numpy()[hit][ok])
+        return pd.DataFrame({"rev_units": [int(rev.sum())]})
+
+    units = int(li.map_batches(fused, batch_format="pyarrow")
+                .to_pandas()["rev_units"].sum())
+    return pd.DataFrame(
+        {"revenue": [float(_units_2dec(np.array([units]))[0])]})
+
+
+# -------------------------------------------------------------- Q22 --
+def q22_idle_balances(sf_dir: str, priority: str = "1-URGENT",
+                      small_threshold: int = 5_000_000) -> pd.DataFrame:
+    """TPC-H Q22 shape: per market segment, count + total balance of
+    above-average-balance customers with no `priority` orders (the
+    schema has no phone, so country-code becomes mktsegment and the
+    anti-join target is priority-filtered orders). Phase 1 folds the
+    positive-balance (sum_cents, n) scalars map-side; the
+    above-average test is the exact integer cross-multiply
+    cents * n > sum_cents. Small path: distinct urgent custkeys fold
+    to a driver set (bounded by customers) and the customer scan
+    fuses filter + anti-probe + segment fold; large path: the
+    balance-filtered customers anti-bucket-join the urgent custkey
+    stream."""
+    import ray
+
+    from .joins import bucket_join
+    from .pathlog import note
+    from .queries import _rp, _tbl_rows
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_acctbal",
+                                    "c_mktsegment"])
+
+    def bal_partial(t: pa.Table) -> pd.DataFrame:
+        cents = np.rint(t["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        pos = cents > 0
+        return pd.DataFrame({"sum_cents": [int(cents[pos].sum())],
+                             "n": [int(pos.sum())]})
+
+    totals = cust.map_batches(bal_partial,
+                              batch_format="pyarrow").to_pandas()
+    S, N = int(totals["sum_cents"].sum()), int(totals["n"].sum())
+
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    n_orders = _tbl_rows(sf_dir, "orders")
+
+    def seg_fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "c_mktsegment": pd.Series([], dtype="object"),
+                "numcust": pd.Series([], dtype="int64"),
+                "tot_cents": pd.Series([], dtype="int64")})
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            numcust=("c_custkey", "size"), tot_cents=("cents", "sum"))
+        g["numcust"] = g["numcust"].astype("int64")
+        return g
+
+    if n_orders is not None and n_orders <= small_threshold:
+        note("q22", "driver_anti_set", n_orders=n_orders)
+
+        def urgent(t: pa.Table) -> pd.DataFrame:
+            import pyarrow.compute as pc
+            keep = pc.equal(t["o_orderpriority"], priority).to_numpy(
+                zero_copy_only=False)
+            return pd.DataFrame({"c_custkey": np.unique(
+                t["o_custkey"].to_numpy()[keep]).astype(np.int64)})
+
+        parts = orders.map_batches(urgent, batch_format="pyarrow")
+        bad = np.unique(np.concatenate(
+            [b["c_custkey"].to_numpy()
+             for b in parts.iter_batches(batch_format="pandas",
+                                         batch_size=None)]
+            or [np.empty(0, np.int64)]))
+        bref = ray.put(bad)
+
+        def fused(t: pa.Table) -> pd.DataFrame:
+            bk = ray.get(bref)
+            cents = np.rint(t["c_acctbal"].to_numpy() * 100
+                            ).astype(np.int64)
+            rich = cents * N > S
+            _, hit = _probe(t["c_custkey"].to_numpy(), bk)
+            keep = rich & ~hit
+            return seg_fold(pd.DataFrame({
+                "c_custkey": t["c_custkey"].to_numpy()[keep],
+                "c_mktsegment": np.asarray(
+                    t["c_mktsegment"].to_pylist(), dtype=object)[keep],
+                "cents": cents[keep]}))
+
+        parts = cust.map_batches(fused, batch_format="pyarrow").to_pandas()
+    else:
+        note("q22", "anti_bucket_join", n_orders=n_orders)
+
+        def rich_rows(t: pa.Table) -> pd.DataFrame:
+            cents = np.rint(t["c_acctbal"].to_numpy() * 100
+                            ).astype(np.int64)
+            keep = cents * N > S
+            return pd.DataFrame({
+                "c_custkey": t["c_custkey"].to_numpy()[keep],
+                "c_mktsegment": np.asarray(
+                    t["c_mktsegment"].to_pylist(), dtype=object)[keep],
+                "cents": cents[keep]})
+
+        rich = cust.map_batches(rich_rows, batch_format="pyarrow")
+
+        def urgent_keys(df: pd.DataFrame) -> pd.DataFrame:
+            keep = df["o_orderpriority"].to_numpy() == priority
+            return pd.DataFrame({"c_custkey": np.unique(
+                df["o_custkey"].to_numpy()[keep]).astype(np.int64)})
+
+        urgent = orders.map_batches(urgent_keys, batch_format="pandas")
+        kept = bucket_join(rich, urgent, on="c_custkey", how="anti",
+                           rows_hint=n_orders)
+        parts = (kept.map_batches(seg_fold, batch_format="pandas")
+                 .to_pandas())
+
+    if parts.empty:
+        return pd.DataFrame({"c_mktsegment": pd.Series([], dtype="object"),
+                             "numcust": pd.Series([], dtype="int64"),
+                             "totacctbal": pd.Series([], dtype="float64")})
+    agg = parts.groupby("c_mktsegment", as_index=False).sum()
+    agg["totacctbal"] = agg["tot_cents"].map(lambda c: float(c) / 100)
+    agg["numcust"] = agg["numcust"].astype("int64")
+    return (agg[["c_mktsegment", "numcust", "totacctbal"]]
+            .sort_values("c_mktsegment").reset_index(drop=True))
+
+
+TPCH2_QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "q12_priority_by_flag": q12_priority_by_flag,
+    "q13_order_distribution": q13_order_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_bracket_revenue": q19_bracket_revenue,
+    "q22_idle_balances": q22_idle_balances,
+}

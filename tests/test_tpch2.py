@@ -1,0 +1,114 @@
+"""Branch-equality and edge-case tests for the second-wave TPC-H
+analogs (engine/tpch2.py). The oracle equality itself is covered by
+the auto-parameterized driver mimic in test_queries_oracle.py — these
+tests force the non-default execution paths."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.mark.parametrize("fn_name", [
+    "q4_order_priority", "q12_priority_by_flag",
+    "q14_promo_revenue", "q22_idle_balances",
+])
+def test_distributed_branch_matches(ray_session, fn_name):
+    """small_threshold=0 forces the packed bucket-join / anti-join
+    branch; result must equal the fused broadcast path (whose oracle
+    equality test_queries_oracle already proves)."""
+    import engine.tpch2 as t
+
+    fn = getattr(t, fn_name)
+    fast = fn(SF_DIR)
+    dist = fn(SF_DIR, small_threshold=0)
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_q18_empty_survivor_schema(ray_session):
+    """An unreachable quantity threshold returns the typed empty frame
+    (stable schema for the driver), not a KeyError on missing cols."""
+    from engine.tpch2 import q18_large_orders
+
+    out = q18_large_orders(SF_DIR, min_qty=10**9)
+    assert len(out) == 0
+    assert list(out.columns) == ["c_name", "c_custkey", "o_orderkey",
+                                 "o_orderdate", "o_totalprice", "sum_qty"]
+
+
+def test_q18_tiebreak_is_orderkey_stable(ray_session):
+    """The k-boundary cut is deterministic: re-running yields the
+    identical frame (ORDER BY totalprice DESC, orderdate, orderkey)."""
+    from engine.tpch2 import q18_large_orders
+
+    a = q18_large_orders(SF_DIR, min_qty=100, k=20)
+    b = q18_large_orders(SF_DIR, min_qty=100, k=20)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["o_totalprice"].to_numpy()[:-1]
+            >= a["o_totalprice"].to_numpy()[1:]).all()
+
+
+def test_q17_integer_threshold_vs_float_reference(ray_session):
+    """The exact cross-multiply small-quantity test agrees with a
+    direct float evaluation on this data (quantities are integral, so
+    no boundary ambiguity exists here) — guards the scaling math."""
+    import pyarrow.parquet as pq
+
+    from engine.tpch2 import q17_small_qty_revenue
+
+    got = float(q17_small_qty_revenue(SF_DIR)["avg_yearly"].iloc[0])
+
+    li = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet"),
+                       columns=["l_partkey", "l_quantity",
+                                "l_extendedprice"]).to_pandas()
+    p = pq.read_table(os.path.join(SF_DIR, "part.parquet"),
+                      columns=["p_partkey", "p_type",
+                               "p_size"]).to_pandas()
+    cand = set(p.loc[(p["p_type"] == "SMALL")
+                     & (p["p_size"] < 25), "p_partkey"])
+    li = li[li["l_partkey"].isin(cand)]
+    avg = li.groupby("l_partkey")["l_quantity"].transform("mean")
+    ref = li.loc[li["l_quantity"] < 0.5 * avg, "l_extendedprice"].sum() / 7
+    assert got == pytest.approx(ref, abs=1e-6)
+
+
+def test_q12_fk_violation_raises(ray_session, tmp_path):
+    """A lineitem orderkey absent from orders must raise, not count
+    silently under an arbitrary priority (q10's FK guard discipline)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from engine.tpch2 import q12_priority_by_flag
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in ["orders", "lineitem"]:
+        tbl = pq.read_table(os.path.join(SF_DIR, f"{t}.parquet"))
+        pq.write_table(tbl, d / f"{t}.parquet")
+    li = pq.read_table(d / "lineitem.parquet").to_pandas()
+    li.loc[li.index[:1], "l_orderkey"] = 10**12  # orphan key
+    # make sure the orphan row passes the year filter
+    li.loc[li.index[:1], "l_shipdate"] = np.datetime64("1997-06-01", "us")
+    pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                   d / "lineitem.parquet")
+    # Ray surfaces worker exceptions as RayTaskError wrapping the
+    # original — match on the message, not the leaf type
+    with pytest.raises(Exception, match="FK"):
+        q12_priority_by_flag(str(d))
+
+
+def test_q13_zero_order_customers_counted(ray_session):
+    """custdist totals must cover EVERY customer (zero-count bucket
+    synthesized from the footer row count)."""
+    import pyarrow.parquet as pq
+
+    from engine.tpch2 import q13_order_distribution
+
+    out = q13_order_distribution(SF_DIR)
+    n_cust = pq.read_metadata(
+        os.path.join(SF_DIR, "customer.parquet")).num_rows
+    assert int(out["custdist"].sum()) == n_cust
