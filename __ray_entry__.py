@@ -1684,6 +1684,47 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c.c_custkey
                                 AND o_orderpriority = '1-URGENT')
             GROUP BY 1 ORDER BY 1""",
+        # Q15 shape: view + max subquery — ALL max-revenue ties emitted
+        "q15_top_supplier": f"""
+            WITH rev AS (
+                SELECT l_suppkey, SUM({_REVU}) AS u
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate <  DATE '1996-04-01'
+                GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name,
+                   CAST((rev.u + 50) // 100 AS DOUBLE) / 100
+                       AS total_revenue
+            FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+            WHERE rev.u = (SELECT MAX(u) FROM rev)
+            ORDER BY s.s_suppkey""",
+        # Q21 shape via the masked-sum equivalent of the triple
+        # EXISTS: per order, winner = SUM(suppkey * is_late) is exactly
+        # the sole late supplier whenever n_late = 1 (the only case
+        # kept) — including suppkey 0. "Late" = shipped >= orderdate
+        # + 30 days (no receipt/commit dates in this schema).
+        "q21_suppliers_kept_waiting": """
+            WITH f AS (
+                SELECT l_orderkey, l_suppkey,
+                       CASE WHEN l_shipdate >= o_orderdate
+                                              + INTERVAL 30 DAY
+                            THEN 1 ELSE 0 END AS late
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                WHERE o_orderstatus = 'F'),
+            ps AS (
+                SELECT l_orderkey, l_suppkey,
+                       CASE WHEN SUM(late) > 0 THEN 1 ELSE 0 END
+                           AS is_late
+                FROM f GROUP BY 1, 2),
+            po AS (
+                SELECT l_orderkey, COUNT(*) AS n_supp,
+                       SUM(is_late) AS n_late,
+                       SUM(l_suppkey * is_late) AS wsupp
+                FROM ps GROUP BY 1)
+            SELECT s.s_name, COUNT(*) AS numwait
+            FROM po JOIN supplier s ON s.s_suppkey = po.wsupp
+            WHERE po.n_supp > 1 AND po.n_late = 1
+            GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # kg_triples, kg_mentions_all, kg_dep_morphs, kg_top_entities,
         # kg_pagerank, ncrf_label_turns, ncrf_train_eval,

@@ -141,6 +141,11 @@ def run_bench() -> dict:
         "events_debounce", "events_value_quantiles_sketch",
         "parts_coorder_triangles", "docs_weighted_sample",
         "events_type_drift", "q7_nation_volume", "events_user_cms",
+        "q4_order_priority", "q12_priority_by_flag",
+        "q13_order_distribution", "q14_promo_revenue",
+        "q17_small_qty_revenue", "q18_large_orders",
+        "q19_bracket_revenue", "q22_idle_balances",
+        "q15_top_supplier", "q21_suppliers_kept_waiting",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

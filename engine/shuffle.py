@@ -120,9 +120,20 @@ def grouped_sum(ds, keys, sum_cols, rows_hint: int | None = None,
 
         note("grouped_sum", "driver_fold", n_partials=n_part)
         # whole blocks via to_arrow_refs (no driver re-batching — the
-        # iter_batches default re-slice is the known 70x trap)
-        blocks = [b for b in ray.get(partials.to_arrow_refs())
-                  if b.num_rows]
+        # iter_batches default re-slice is the known 70x trap).
+        # EMPTY pandas blocks bypass map_batches output conversion
+        # entirely (Ray passes them through untouched), so a
+        # pandas-block upstream (e.g. a bucket_join merge) can leak
+        # raw DataFrames here — skip/convert instead of crashing on
+        # .num_rows
+        blocks = []
+        for b in ray.get(partials.to_arrow_refs()):
+            if isinstance(b, pd.DataFrame):
+                if not len(b):
+                    continue
+                b = pa.Table.from_pandas(b, preserve_index=False)
+            if b.num_rows:
+                blocks.append(b)
         if not blocks:
             return partials
         out = _arrow_gsum(pa.concat_tables(blocks))

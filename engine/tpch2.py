@@ -749,6 +749,223 @@ def q22_idle_balances(sf_dir: str, priority: str = "1-URGENT",
             .sort_values("c_mktsegment").reset_index(drop=True))
 
 
+# -------------------------------------------------------------- Q15 --
+def q15_top_supplier(sf_dir: str, date_from: str = "1996-01-01",
+                     date_to: str = "1996-04-01") -> pd.DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the MAXIMUM quarter revenue —
+    all ties emitted (the view+max subquery, not a LIMIT 1). Revenue
+    per supplier runs as shuffle.grouped_sum over exact int64 units;
+    the global max folds from per-block partial maxima (each block
+    emits only its own argmax rows, so the driver sees blocks, not
+    suppliers); equality against the max is integer-exact, so ties are
+    bit-deterministic. Name lookup is a broadcast probe of the
+    surviving keys only."""
+    import ray
+
+    from .pathlog import note
+    from .queries import _rp, _rev_units, _tbl_rows, _units_2dec
+    from .shuffle import grouped_sum
+
+    lo, hi = _day(date_from), _day(date_to)
+    li = _rp(sf_dir, "lineitem",
+             ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        d = _days(t["l_shipdate"].to_numpy())
+        keep = (d >= lo) & (d < hi)
+        if not keep.any():
+            return pd.DataFrame({
+                "l_suppkey": pd.Series([], dtype="int64"),
+                "rev_units": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({
+            "l_suppkey": t["l_suppkey"].to_numpy()[keep],
+            "rev_units": _rev_units(t["l_extendedprice"].to_numpy()[keep],
+                                    t["l_discount"].to_numpy()[keep])})
+        return df.groupby("l_suppkey", as_index=False).sum()
+
+    per_supp = grouped_sum(li.map_batches(partial, batch_format="pyarrow"),
+                           keys="l_suppkey", sum_cols="rev_units",
+                           rows_hint=_tbl_rows(sf_dir, "lineitem"))
+
+    def block_max(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df[df["rev_units"] == df["rev_units"].max()]
+
+    cand = (per_supp.map_batches(block_max, batch_format="pandas")
+            .to_pandas())
+    note("q15", "grouped_sum+blockmax", n_cand=len(cand))
+    if cand.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype="object"),
+                             "total_revenue": pd.Series([], dtype="float64")})
+    best = int(cand["rev_units"].max())
+    win = cand[cand["rev_units"] == best]
+    skeys = np.sort(win["l_suppkey"].to_numpy(np.int64))
+    sref = ray.put(skeys)
+
+    supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_name"])
+
+    def pick(t: pa.Table) -> pd.DataFrame:
+        sk = ray.get(sref)
+        _, hit = _probe(t["s_suppkey"].to_numpy(), sk)
+        return t.to_pandas()[hit]
+
+    names = supp.map_batches(pick, batch_format="pyarrow").to_pandas()
+    out = names.merge(win.rename(columns={"l_suppkey": "s_suppkey"}),
+                      on="s_suppkey")
+    out["total_revenue"] = np.asarray(
+        _units_2dec(out["rev_units"].to_numpy()), dtype=np.float64)
+    return (out[["s_suppkey", "s_name", "total_revenue"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+# -------------------------------------------------------------- Q21 --
+def q21_suppliers_kept_waiting(sf_dir: str, late_days: int = 30,
+                               k: int = 100,
+                               small_threshold: int = 5_000_000
+                               ) -> pd.DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    multi-supplier finished ('F') orders ("late" = shipped >=
+    orderdate + late_days; this schema has no receipt/commit dates).
+    The triple-EXISTS collapses to two chained grouped_sum exchanges
+    with a masked-key trick — per (order, supplier): late_cnt; per
+    order: n_supp, n_late_supp, and winner = SUM(suppkey * is_late)
+    (exactly the sole late supplier when n_late_supp == 1, the only
+    case consulted) — so the whole query is three SUM aggregations, no
+    per-order co-group materialization. The oracle mirrors the same
+    masked-sum formulation (provably equivalent to the EXISTS form).
+    Order attach is the dual-path broadcast / bucket-join idiom; the
+    top-k cut orders by (numwait DESC, s_suppkey) — supplier names are
+    zero-padded, so name order IS key order."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .joins import bucket_join
+    from .pathlog import note
+    from .queries import _rp, _tbl_rows
+    from .shuffle import grouped_sum
+
+    n_orders = _tbl_rows(sf_dir, "orders")
+    li = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    if n_orders is not None and n_orders <= small_threshold:
+        note("q21", "fused_broadcast", n_orders=n_orders)
+        o = pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+        ).to_pandas()
+        o = o[o["o_orderstatus"] == "F"]
+        o = o.assign(odays=_days(o["o_orderdate"]))
+        ref = _put_sorted(o, "o_orderkey", "odays")
+
+        def annotate(t: pa.Table) -> pd.DataFrame:
+            ok, od = ray.get(ref)
+            lk = t["l_orderkey"].to_numpy()
+            pos, hit = _probe(lk, ok)
+            if not hit.any():
+                return pd.DataFrame({
+                    "l_orderkey": pd.Series([], dtype="int64"),
+                    "l_suppkey": pd.Series([], dtype="int64"),
+                    "late": pd.Series([], dtype="int64")})
+            late = (_days(t["l_shipdate"].to_numpy())[hit]
+                    >= od[pos[hit]] + late_days).astype(np.int64)
+            return pd.DataFrame({
+                "l_orderkey": lk[hit],
+                "l_suppkey": t["l_suppkey"].to_numpy()[hit],
+                "late": late})
+
+        ann = li.map_batches(annotate, batch_format="pyarrow")
+    else:
+        note("q21", "bucket_join", n_orders=n_orders)
+        orders = _rp(sf_dir, "orders",
+                     ["o_orderkey", "o_orderdate", "o_orderstatus"])
+
+        def omap(df: pd.DataFrame) -> pd.DataFrame:
+            keep = df["o_orderstatus"].to_numpy() == "F"
+            return pd.DataFrame({
+                "l_orderkey": df["o_orderkey"].to_numpy()[keep],
+                "odays": _days(df["o_orderdate"].to_numpy())[keep]})
+
+        o_map = orders.map_batches(omap, batch_format="pandas")
+
+        def lrows(t: pa.Table) -> pd.DataFrame:
+            return pd.DataFrame({
+                "l_orderkey": t["l_orderkey"].to_numpy(),
+                "l_suppkey": t["l_suppkey"].to_numpy(),
+                "sdays": _days(t["l_shipdate"].to_numpy())})
+
+        def mark(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "l_orderkey": df["l_orderkey"].to_numpy(),
+                "l_suppkey": df["l_suppkey"].to_numpy(),
+                "late": (df["sdays"].to_numpy()
+                         >= df["odays"].to_numpy()
+                         + late_days).astype(np.int64)})
+
+        ann = (bucket_join(li.map_batches(lrows, batch_format="pyarrow"),
+                           o_map, on="l_orderkey", rows_hint=n_orders)
+               .map_batches(mark, batch_format="pandas"))
+
+    per_os = grouped_sum(ann, keys=["l_orderkey", "l_suppkey"],
+                         sum_cols="late",
+                         rows_hint=_tbl_rows(sf_dir, "lineitem"))
+
+    def order_stats(df: pd.DataFrame) -> pd.DataFrame:
+        is_late = (df["late"].to_numpy(np.int64) > 0).astype(np.int64)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(),
+            "n_supp": np.ones(len(df), dtype=np.int64),
+            "n_late": is_late,
+            "wsupp": df["l_suppkey"].to_numpy(np.int64) * is_late})
+
+    per_o = grouped_sum(
+        per_os.map_batches(order_stats, batch_format="pandas"),
+        keys="l_orderkey", sum_cols=["n_supp", "n_late", "wsupp"],
+        rows_hint=n_orders)
+
+    def winners(df: pd.DataFrame) -> pd.DataFrame:
+        q = df[(df["n_supp"] > 1) & (df["n_late"] == 1)]
+        out = (q.groupby("wsupp", as_index=False).size()
+               .rename(columns={"wsupp": "s_suppkey", "size": "numwait"}))
+        out["numwait"] = out["numwait"].astype("int64")
+        return out
+
+    per_supp = grouped_sum(
+        per_o.map_batches(winners, batch_format="pandas"),
+        keys="s_suppkey", sum_cols="numwait",
+        rows_hint=_tbl_rows(sf_dir, "supplier"))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["numwait", "s_suppkey"],
+                              ascending=[False, True]).head(k)
+
+    cand = (per_supp.map_batches(topk, batch_format="pandas")
+            .to_pandas())
+    if cand.empty:
+        return pd.DataFrame({"s_name": pd.Series([], dtype="object"),
+                             "numwait": pd.Series([], dtype="int64")})
+    cand = (cand.sort_values(["numwait", "s_suppkey"],
+                             ascending=[False, True])
+            .head(k).reset_index(drop=True))
+    skeys = np.sort(cand["s_suppkey"].to_numpy(np.int64))
+    sref = ray.put(skeys)
+
+    supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_name"])
+
+    def pick(t: pa.Table) -> pd.DataFrame:
+        sk = ray.get(sref)
+        _, hit = _probe(t["s_suppkey"].to_numpy(), sk)
+        return t.to_pandas()[hit]
+
+    names = supp.map_batches(pick, batch_format="pyarrow").to_pandas()
+    out = cand.merge(names, on="s_suppkey")
+    return (out[["s_name", "numwait"]]
+            .sort_values(["numwait", "s_name"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
 TPCH2_QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q12_priority_by_flag": q12_priority_by_flag,
@@ -758,4 +975,6 @@ TPCH2_QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q19_bracket_revenue": q19_bracket_revenue,
     "q22_idle_balances": q22_idle_balances,
+    "q15_top_supplier": q15_top_supplier,
+    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
 }

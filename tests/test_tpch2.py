@@ -101,6 +101,50 @@ def test_q12_fk_violation_raises(ray_session, tmp_path):
         q12_priority_by_flag(str(d))
 
 
+def test_q21_distributed_branch_matches(ray_session):
+    """small_threshold=0 forces the bucket-join order-attach branch;
+    the two chained grouped_sum stages must produce the identical
+    top-k frame."""
+    from engine.tpch2 import q21_suppliers_kept_waiting
+
+    fast = q21_suppliers_kept_waiting(SF_DIR)
+    dist = q21_suppliers_kept_waiting(SF_DIR, small_threshold=0)
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_q15_emits_all_max_ties(ray_session):
+    """Q15's contract is ALL suppliers at the max (view + subquery,
+    not LIMIT 1): with the window widened to the whole corpus every
+    returned row must carry the same revenue, and that revenue must be
+    the global per-supplier max."""
+    from engine.tpch2 import q15_top_supplier
+
+    out = q15_top_supplier(SF_DIR, date_from="1995-01-01",
+                           date_to="2002-01-01")
+    assert len(out) >= 1
+    assert out["total_revenue"].nunique() == 1
+    assert (out["s_suppkey"].to_numpy()[:-1]
+            < out["s_suppkey"].to_numpy()[1:]).all()
+
+
+def test_grouped_sum_survives_empty_pandas_blocks(ray_session):
+    """Ray passes EMPTY pandas blocks through map_batches output
+    conversion untouched, so to_arrow_refs can hand grouped_sum's
+    driver fold a raw DataFrame (observed via bucket_join's pandas
+    merge output in q21's forced branch) — the fold must skip/convert,
+    not crash on .num_rows."""
+    import ray.data as rd
+
+    from engine.shuffle import grouped_sum
+
+    ds = rd.from_pandas([pd.DataFrame({"k": [1, 1, 2], "v": [1, 2, 3]}),
+                         pd.DataFrame({"k": [], "v": []})])
+    out = grouped_sum(ds, keys="k", sum_cols="v").to_pandas()
+    got = dict(zip(out["k"].astype(int), out["v"].astype(int)))
+    assert got == {1: 3, 2: 3}
+
+
 def test_q13_zero_order_customers_counted(ray_session):
     """custdist totals must cover EVERY customer (zero-count bucket
     synthesized from the footer row count)."""
