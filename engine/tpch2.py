@@ -103,16 +103,21 @@ def q4_order_priority(sf_dir: str, date_from: str = "1996-01-01",
             ok, od = ray.get(ref)
             lk = t["l_orderkey"].to_numpy()
             pos, hit = _probe(lk, ok)
-            late = hit & (_days(t["l_shipdate"].to_numpy())
-                          >= od[pos] + late_days)
+            # index od only on hit rows — od may be empty (window
+            # matched no orders) while pos is zero-filled
+            late = (_days(t["l_shipdate"].to_numpy())[hit]
+                    >= od[pos[hit]] + late_days)
             return pd.DataFrame(
-                {"o_orderkey": np.unique(lk[late]).astype(np.int64)})
+                {"o_orderkey": np.unique(lk[hit][late]).astype(np.int64)})
 
         parts = li.map_batches(qualifying, batch_format="pyarrow")
+        # empty blocks bypass map_batches output conversion and can
+        # arrive column-less — guard the driver fold
         q = np.unique(np.concatenate(
             [b["o_orderkey"].to_numpy()
              for b in parts.iter_batches(batch_format="pandas",
-                                         batch_size=None)]
+                                         batch_size=None)
+             if "o_orderkey" in b.columns]
             or [np.empty(0, np.int64)]))
         counts = (o[o["o_orderkey"].isin(q)]
                   .groupby("o_orderpriority").size())
@@ -381,8 +386,11 @@ def q14_promo_revenue(sf_dir: str, month: str = "1997-09",
                                  "total_units": [int(rev.sum())]})
 
         parts = li.map_batches(fused, batch_format="pyarrow").to_pandas()
-        promo_u = int(parts["promo_units"].sum())
-        total_u = int(parts["total_units"].sum())
+        # all-empty-block to_pandas drops columns — treat as zero
+        promo_u = (int(parts["promo_units"].sum())
+                   if "promo_units" in parts.columns else 0)
+        total_u = (int(parts["total_units"].sum())
+                   if "total_units" in parts.columns else 0)
     else:
         note("q14", "bucket_join", n_part=n_part)
         part = _rp(sf_dir, "part", ["p_partkey", "p_type"])
@@ -424,8 +432,10 @@ def q14_promo_revenue(sf_dir: str, month: str = "1997-09",
         parts = (bucket_join(li_part, p_map, on="l_partkey",
                              rows_hint=n_part)
                  .map_batches(fold, batch_format="pandas").to_pandas())
-        promo_u = int(parts["promo_units"].sum())
-        total_u = int(parts["total_units"].sum())
+        promo_u = (int(parts["promo_units"].sum())
+                   if "promo_units" in parts.columns else 0)
+        total_u = (int(parts["total_units"].sum())
+                   if "total_units" in parts.columns else 0)
 
     pct = (100.0 * promo_u / total_u) if total_u else float("nan")
     return pd.DataFrame({"promo_pct": [pct]})
@@ -497,8 +507,9 @@ def q17_small_qty_revenue(sf_dir: str, part_type: str = "SMALL",
                         ).astype(np.int64)
         return pd.DataFrame({"cents": [int(cents.sum())]})
 
-    cents = int(li.map_batches(pass_b, batch_format="pyarrow")
-                .to_pandas()["cents"].sum())
+    parts_b = li.map_batches(pass_b, batch_format="pyarrow").to_pandas()
+    cents = (int(parts_b["cents"].sum())
+             if "cents" in parts_b.columns else 0)
     return pd.DataFrame({"avg_yearly": [float(cents) / 100 / 7]})
 
 
@@ -627,8 +638,9 @@ def q19_bracket_revenue(sf_dir: str) -> pd.DataFrame:
                          t["l_discount"].to_numpy()[hit][ok])
         return pd.DataFrame({"rev_units": [int(rev.sum())]})
 
-    units = int(li.map_batches(fused, batch_format="pyarrow")
-                .to_pandas()["rev_units"].sum())
+    parts = li.map_batches(fused, batch_format="pyarrow").to_pandas()
+    units = (int(parts["rev_units"].sum())
+             if "rev_units" in parts.columns else 0)
     return pd.DataFrame(
         {"revenue": [float(_units_2dec(np.array([units]))[0])]})
 
@@ -694,7 +706,8 @@ def q22_idle_balances(sf_dir: str, priority: str = "1-URGENT",
         bad = np.unique(np.concatenate(
             [b["c_custkey"].to_numpy()
              for b in parts.iter_batches(batch_format="pandas",
-                                         batch_size=None)]
+                                         batch_size=None)
+             if "c_custkey" in b.columns]
             or [np.empty(0, np.int64)]))
         bref = ray.put(bad)
 

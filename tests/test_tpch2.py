@@ -145,6 +145,29 @@ def test_grouped_sum_survives_empty_pandas_blocks(ray_session):
     assert got == {1: 3, 2: 3}
 
 
+def test_empty_result_paths_are_typed(ray_session):
+    """Predicates that match nothing must return the typed empty/NaN
+    shape, not crash on the all-empty-block to_pandas column drop or
+    on column-less passthrough blocks in the driver folds."""
+    from engine.tpch2 import (q4_order_priority, q14_promo_revenue,
+                              q15_top_supplier, q17_small_qty_revenue)
+
+    out4 = q4_order_priority(SF_DIR, date_from="1970-01-01",
+                             date_to="1970-02-01")
+    assert len(out4) == 0
+    assert list(out4.columns) == ["o_orderpriority", "order_count"]
+
+    out14 = q14_promo_revenue(SF_DIR, month="1970-01")
+    assert len(out14) == 1 and np.isnan(out14["promo_pct"].iloc[0])
+
+    out15 = q15_top_supplier(SF_DIR, date_from="1970-01-01",
+                             date_to="1970-02-01")
+    assert len(out15) == 0
+
+    out17 = q17_small_qty_revenue(SF_DIR, part_type="NO_SUCH_TYPE")
+    assert len(out17) == 1 and np.isnan(out17["avg_yearly"].iloc[0])
+
+
 def test_q13_zero_order_customers_counted(ray_session):
     """custdist totals must cover EVERY customer (zero-count bucket
     synthesized from the footer row count)."""
