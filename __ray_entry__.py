@@ -1684,6 +1684,30 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c.c_custkey
                                 AND o_orderpriority = '1-URGENT')
             GROUP BY 1 ORDER BY 1""",
+        # per-source curation report — COUNT(DISTINCT text) matches
+        # the engine's FNV-64 distinct under the same no-collision
+        # discipline dedup_exact_docs already runs on
+        "docs_source_report": """
+            WITH per AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       COUNT(DISTINCT text) AS n_unique,
+                       SUM(n_chars) AS ch
+                FROM documents GROUP BY 1)
+            SELECT source, n_docs, n_unique,
+                   CAST(n_docs - n_unique AS DOUBLE) / n_docs
+                       AS dup_rate,
+                   CAST(ch AS DOUBLE) / n_docs AS mean_chars
+            FROM per ORDER BY source""",
+        "docs_source_lang_mix": """
+            WITH cells AS (
+                SELECT source, lang, COUNT(*) AS n
+                FROM documents GROUP BY 1, 2),
+            tot AS (
+                SELECT source, SUM(n) AS t FROM cells GROUP BY 1)
+            SELECT c.source, c.lang, c.n,
+                   CAST(c.n AS DOUBLE) / t.t AS pct
+            FROM cells c JOIN tot t USING (source)
+            ORDER BY c.source, c.lang""",
         # Q15 shape: view + max subquery — ALL max-revenue ties emitted
         "q15_top_supplier": f"""
             WITH rev AS (
@@ -1725,6 +1749,38 @@ def oracle_sql() -> dict[str, str]:
             FROM po JOIN supplier s ON s.s_suppkey = po.wsupp
             WHERE po.n_supp > 1 AND po.n_late = 1
             GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""",
+        # Q16 shape: negative acctbal stands in for the complaint
+        # exclusion; lineitem is the partsupp stand-in
+        "q16_part_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+              AND s_acctbal >= 0
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        # Q20 shape: "shipped more than half of the part's year
+        # volume" replaces the availqty comparison; exact integer q100
+        "q20_excess_shippers": """
+            WITH cand AS (
+                SELECT p_partkey FROM part WHERE p_type = 'SMALL'),
+            agg AS (
+                SELECT l_partkey, l_suppkey,
+                       SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS q
+                FROM lineitem JOIN cand ON p_partkey = l_partkey
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate <  DATE '1997-01-01'
+                GROUP BY 1, 2),
+            tot AS (SELECT l_partkey, SUM(q) AS tq FROM agg GROUP BY 1)
+            SELECT DISTINCT s.s_suppkey, s.s_name
+            FROM agg a
+            JOIN tot t USING (l_partkey)
+            JOIN supplier s ON s.s_suppkey = a.l_suppkey
+            WHERE 2 * a.q > t.tq AND s.s_nationkey = 3
+            ORDER BY s.s_suppkey""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # kg_triples, kg_mentions_all, kg_dep_morphs, kg_top_entities,
         # kg_pagerank, ncrf_label_turns, ncrf_train_eval,

@@ -146,6 +146,8 @@ def run_bench() -> dict:
         "q17_small_qty_revenue", "q18_large_orders",
         "q19_bracket_revenue", "q22_idle_balances",
         "q15_top_supplier", "q21_suppliers_kept_waiting",
+        "q16_part_supplier_counts", "q20_excess_shippers",
+        "docs_source_report", "docs_source_lang_mix",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

@@ -4157,6 +4157,104 @@ def docs_token_entropy(sf_dir: str) -> pd.DataFrame:
 QUERIES["docs_token_entropy"] = docs_token_entropy
 
 
+def docs_source_report(sf_dir: str) -> pd.DataFrame:
+    """Per-source corpus curation report — the first table a 100-TB
+    ingest run produces: doc count, exact-distinct text count, dup
+    rate, mean doc length, one row per source. Distinct texts key on
+    the same FNV-64 content hash exact_dedup uses (oracle GROUP BY
+    text — identical under the no-collision discipline that whole
+    family already runs on); the (source, h) exchange moves per-batch
+    DISTINCT partials via shuffle.grouped_sum, never raw docs, and the
+    per-source rollup is a driver fold over a handful of sources. The
+    ratios divide exact integer sums in float64, mirrored by DOUBLE
+    casts in the oracle."""
+    from .shuffle import grouped_sum
+    from .textstats import Fingerprinter
+
+    fnv = Fingerprinter.fnv64
+    ds = _rp(sf_dir, "documents", ["text", "source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "source": df["source"].to_numpy(),
+            "h": np.fromiter((np.uint64(fnv(t)) for t in df["text"]),
+                             dtype=np.uint64,
+                             count=len(df)).view(np.int64),
+            "cnt": np.ones(len(df), dtype=np.int64),
+            "chars": df["n_chars"].to_numpy(np.int64)})
+        return out.groupby(["source", "h"], as_index=False).sum()
+
+    per_text = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["source", "h"], sum_cols=["cnt", "chars"],
+        rows_hint=_tbl_rows(sf_dir, "documents"))
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("cnt", "sum"), n_unique=("cnt", "size"),
+            chars=("chars", "sum"))
+        g["n_unique"] = g["n_unique"].astype("int64")
+        return g
+
+    parts = per_text.map_batches(rollup, batch_format="pandas").to_pandas()
+    if parts.empty or "source" not in parts.columns:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "n_unique": pd.Series([], dtype="int64"),
+            "dup_rate": pd.Series([], dtype="float64"),
+            "mean_chars": pd.Series([], dtype="float64")})
+    agg = parts.groupby("source", as_index=False).sum()
+    nd = agg["n_docs"].to_numpy(np.int64)
+    nu = agg["n_unique"].to_numpy(np.int64)
+    ch = agg["chars"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "source": agg["source"],
+        "n_docs": nd, "n_unique": nu,
+        "dup_rate": (nd - nu).astype(np.float64) / nd,
+        "mean_chars": ch.astype(np.float64) / nd})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+QUERIES["docs_source_report"] = docs_source_report
+
+
+def docs_source_lang_mix(sf_dir: str) -> pd.DataFrame:
+    """Source x language mixing table (stored lang column): doc count
+    per cell and the cell's share of its source — the mixing-weights
+    input a corpus-blending run consumes. One grouped_sum over the
+    (source, lang) key space (dimension-sized), per-source totals
+    folded on the driver; pct divides two exact int64 counts in
+    float64 (DOUBLE-cast mirror in the oracle)."""
+    from .shuffle import grouped_sum
+
+    ds = _rp(sf_dir, "documents", ["source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "lang"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    cells = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["source", "lang"], sum_cols="n",
+        rows_hint=_tbl_rows(sf_dir, "documents")).to_pandas()
+    if cells.empty or "source" not in cells.columns:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "lang": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+            "pct": pd.Series([], dtype="float64")})
+    cells = cells.groupby(["source", "lang"], as_index=False)["n"].sum()
+    tot = cells.groupby("source")["n"].transform("sum").to_numpy(np.int64)
+    cells["n"] = cells["n"].astype("int64")
+    cells["pct"] = cells["n"].to_numpy(np.int64).astype(np.float64) / tot
+    return (cells.sort_values(["source", "lang"])
+            .reset_index(drop=True))
+
+
+QUERIES["docs_source_lang_mix"] = docs_source_lang_mix
+
+
 def events_props_stats(sf_dir: str) -> pd.DataFrame:
     """Schema-on-read over the semi-structured `props` JSON string
     column: extract the integer field k with ONE compiled vectorized

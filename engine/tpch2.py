@@ -979,6 +979,254 @@ def q21_suppliers_kept_waiting(sf_dir: str, late_days: int = 30,
             .reset_index(drop=True))
 
 
+# -------------------------------------------------------------- Q16 --
+_Q16_SIZES = (1, 4, 9, 14, 19, 24, 29, 34)
+
+
+def q16_part_supplier_counts(sf_dir: str, exclude_type: str = "PROMO",
+                             small_threshold: int = 5_000_000
+                             ) -> pd.DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers shipped parts of
+    each (brand, type, size) cell — excluding negative-balance
+    suppliers (the schema has no supplier comments, so the "complaint"
+    exclusion becomes s_acctbal < 0) and an excluded part type +
+    size-IN list. lineitem is the partsupp stand-in. Two grouped_sum
+    exchanges do all the work: distinct (partkey, suppkey) pairs
+    first (raw rows collapse map-side), then distinct (cell, suppkey)
+    after the attr attach; the per-cell COUNT(DISTINCT) is then a plain
+    row count. The exclusion set is a driver fold over the scanned
+    negative-balance keys (a constant fraction of suppliers); part
+    attrs attach via the dual broadcast / bucket-join path."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .joins import bucket_join
+    from .pathlog import note
+    from .queries import _rp, _tbl_rows
+    from .shuffle import grouped_sum
+
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pair_ones(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"l_partkey": t["l_partkey"].to_numpy(),
+                           "l_suppkey": t["l_suppkey"].to_numpy()})
+        g = df.groupby(["l_partkey", "l_suppkey"], as_index=False).size()
+        return (g.rename(columns={"size": "one"})
+                .astype({"one": "int64"}).assign(one=1))
+
+    pairs = grouped_sum(li.map_batches(pair_ones, batch_format="pyarrow"),
+                        keys=["l_partkey", "l_suppkey"], sum_cols="one",
+                        rows_hint=_tbl_rows(sf_dir, "lineitem"))
+
+    # negative-balance supplier keys: distributed scan, driver fold
+    supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+
+    def neg_keys(t: pa.Table) -> pd.DataFrame:
+        bal = t["s_acctbal"].to_numpy()
+        return pd.DataFrame({"s_suppkey": np.unique(
+            t["s_suppkey"].to_numpy()[bal < 0]).astype(np.int64)})
+
+    bad = np.unique(np.concatenate(
+        [b["s_suppkey"].to_numpy()
+         for b in supp.map_batches(neg_keys, batch_format="pyarrow")
+         .iter_batches(batch_format="pandas", batch_size=None)
+         if "s_suppkey" in b.columns] or [np.empty(0, np.int64)]))
+    bref = ray.put(bad)
+
+    def drop_bad(df: pd.DataFrame) -> pd.DataFrame:
+        bk = ray.get(bref)
+        _, hit = _probe(df["l_suppkey"].to_numpy(np.int64), bk)
+        return df[~hit][["l_partkey", "l_suppkey"]]
+
+    good = pairs.map_batches(drop_bad, batch_format="pandas")
+
+    sizes = np.array(_Q16_SIZES, dtype=np.int64)
+    n_part = _tbl_rows(sf_dir, "part")
+
+    def attr_filter(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ((df["p_type"].to_numpy() != exclude_type)
+                & np.isin(df["p_size"].to_numpy(np.int64), sizes))
+        out = df[keep]
+        return pd.DataFrame({
+            "l_partkey": out["p_partkey"].to_numpy(),
+            "p_brand": out["p_brand"].to_numpy(),
+            "p_type": out["p_type"].to_numpy(),
+            "p_size": out["p_size"].to_numpy(np.int64)})
+
+    if n_part is not None and n_part <= small_threshold:
+        note("q16", "broadcast_attrs", n_part=n_part)
+        p = attr_filter(pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_brand", "p_type",
+                     "p_size"]).to_pandas())
+        pref = ray.put(p)
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(ray.get(pref), on="l_partkey")
+
+        cells_rows = good.map_batches(attach, batch_format="pandas")
+    else:
+        note("q16", "bucket_join_attrs", n_part=n_part)
+        part = _rp(sf_dir, "part",
+                   ["p_partkey", "p_brand", "p_type", "p_size"])
+        attrs = part.map_batches(attr_filter, batch_format="pandas")
+        cells_rows = bucket_join(good, attrs, on="l_partkey",
+                                 rows_hint=n_part)
+
+    def cell_ones(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "p_brand" not in df.columns:
+            return pd.DataFrame({
+                "p_brand": pd.Series([], dtype="object"),
+                "p_type": pd.Series([], dtype="object"),
+                "p_size": pd.Series([], dtype="int64"),
+                "l_suppkey": pd.Series([], dtype="int64"),
+                "one": pd.Series([], dtype="int64")})
+        g = (df.groupby(["p_brand", "p_type", "p_size", "l_suppkey"],
+                        as_index=False).size()
+             .rename(columns={"size": "one"}))
+        return g.astype({"one": "int64"}).assign(one=1)
+
+    cell_supp = grouped_sum(
+        cells_rows.map_batches(cell_ones, batch_format="pandas"),
+        keys=["p_brand", "p_type", "p_size", "l_suppkey"],
+        sum_cols="one", rows_hint=n_part)
+
+    def cell_count(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["p_brand", "p_type", "p_size"], as_index=False)
+             .size().rename(columns={"size": "supplier_cnt"}))
+        return g.astype({"supplier_cnt": "int64"})
+
+    parts = (cell_supp.map_batches(cell_count, batch_format="pandas")
+             .to_pandas())
+    if parts.empty or "p_brand" not in parts.columns:
+        return pd.DataFrame({
+            "p_brand": pd.Series([], dtype="object"),
+            "p_type": pd.Series([], dtype="object"),
+            "p_size": pd.Series([], dtype="int64"),
+            "supplier_cnt": pd.Series([], dtype="int64")})
+    agg = (parts.groupby(["p_brand", "p_type", "p_size"], as_index=False)
+           ["supplier_cnt"].sum())
+    agg["supplier_cnt"] = agg["supplier_cnt"].astype("int64")
+    agg["p_size"] = agg["p_size"].astype("int64")
+    return (agg.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True))
+
+
+# -------------------------------------------------------------- Q20 --
+def q20_excess_shippers(sf_dir: str, part_type: str = "SMALL",
+                        year: int = 1996, nationkey: int = 3,
+                        small_threshold: int = 5_000_000) -> pd.DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who shipped MORE THAN
+    HALF of some candidate part's total `year` volume (the available-
+    quantity comparison, re-expressed over lineitem since the schema
+    has no partsupp). Per-(part, supplier) volumes and per-part totals
+    are two grouped_sum exchanges in exact q100 integer units; the
+    majority test 2*q > total is integer-exact. Totals attach via the
+    dual driver-broadcast / bucket-join path; the nation+name lookup
+    ships only the one nation's suppliers."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .joins import bucket_join
+    from .pathlog import note
+    from .queries import _rp, _tbl_rows
+    from .shuffle import grouped_sum
+
+    lo, hi = _day(f"{year}-01-01"), _day(f"{year + 1}-01-01")
+    p = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey", "p_type"]).to_pandas()
+    cand = np.sort(p.loc[p["p_type"] == part_type, "p_partkey"]
+                   .to_numpy(np.int64))
+    cref = ray.put(cand)
+
+    li = _rp(sf_dir, "lineitem",
+             ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ck = ray.get(cref)
+        d = _days(t["l_shipdate"].to_numpy())
+        keep = (d >= lo) & (d < hi)
+        pk = t["l_partkey"].to_numpy()
+        _, hit = _probe(pk, ck)
+        keep &= hit
+        if not keep.any():
+            return pd.DataFrame({
+                "l_partkey": pd.Series([], dtype="int64"),
+                "l_suppkey": pd.Series([], dtype="int64"),
+                "q": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({
+            "l_partkey": pk[keep],
+            "l_suppkey": t["l_suppkey"].to_numpy()[keep],
+            "q": np.rint(t["l_quantity"].to_numpy()[keep] * 100)
+            .astype(np.int64)})
+        return df.groupby(["l_partkey", "l_suppkey"],
+                          as_index=False).sum()
+
+    agg = grouped_sum(li.map_batches(partial, batch_format="pyarrow"),
+                      keys=["l_partkey", "l_suppkey"], sum_cols="q",
+                      rows_hint=_tbl_rows(sf_dir, "lineitem"))
+
+    n_part = _tbl_rows(sf_dir, "part")
+    totals = grouped_sum(
+        agg.map_batches(
+            lambda df: df[["l_partkey", "q"]].rename(
+                columns={"q": "tq"}),
+            batch_format="pandas"),
+        keys="l_partkey", sum_cols="tq", rows_hint=n_part)
+
+    if n_part is not None and n_part <= small_threshold:
+        note("q20", "broadcast_totals", n_part=n_part)
+        tdf = totals.to_pandas()
+        if tdf.empty or "l_partkey" not in tdf.columns:
+            win = np.empty(0, np.int64)
+        else:
+            tdf = tdf.sort_values("l_partkey")
+            tref = ray.put((
+                np.ascontiguousarray(tdf["l_partkey"].to_numpy(np.int64)),
+                np.ascontiguousarray(tdf["tq"].to_numpy(np.int64))))
+
+            def majority(df: pd.DataFrame) -> pd.DataFrame:
+                tk, tq = ray.get(tref)
+                pos, hit = _probe(df["l_partkey"].to_numpy(np.int64), tk)
+                big = hit & (2 * df["q"].to_numpy(np.int64) > tq[pos])
+                return pd.DataFrame({"l_suppkey": np.unique(
+                    df["l_suppkey"].to_numpy(np.int64)[big])})
+
+            win = np.unique(np.concatenate(
+                [b["l_suppkey"].to_numpy()
+                 for b in agg.map_batches(majority, batch_format="pandas")
+                 .iter_batches(batch_format="pandas", batch_size=None)
+                 if "l_suppkey" in b.columns] or [np.empty(0, np.int64)]))
+    else:
+        note("q20", "bucket_join_totals", n_part=n_part)
+        joined = bucket_join(agg, totals, on="l_partkey",
+                             rows_hint=n_part)
+
+        def majority(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty or "tq" not in df.columns:
+                return pd.DataFrame(
+                    {"l_suppkey": pd.Series([], dtype="int64")})
+            big = 2 * df["q"].to_numpy(np.int64) > df["tq"].to_numpy(
+                np.int64)
+            return pd.DataFrame({"l_suppkey": np.unique(
+                df["l_suppkey"].to_numpy(np.int64)[big])})
+
+        win = np.unique(np.concatenate(
+            [b["l_suppkey"].to_numpy()
+             for b in joined.map_batches(majority, batch_format="pandas")
+             .iter_batches(batch_format="pandas", batch_size=None)
+             if "l_suppkey" in b.columns] or [np.empty(0, np.int64)]))
+
+    s = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                      columns=["s_suppkey", "s_name",
+                               "s_nationkey"]).to_pandas()
+    s = s[(s["s_nationkey"] == nationkey)
+          & s["s_suppkey"].isin(win)]
+    return (s[["s_suppkey", "s_name"]].sort_values("s_suppkey")
+            .reset_index(drop=True))
+
+
 TPCH2_QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q12_priority_by_flag": q12_priority_by_flag,
@@ -990,4 +1238,6 @@ TPCH2_QUERIES = {
     "q22_idle_balances": q22_idle_balances,
     "q15_top_supplier": q15_top_supplier,
     "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+    "q16_part_supplier_counts": q16_part_supplier_counts,
+    "q20_excess_shippers": q20_excess_shippers,
 }
