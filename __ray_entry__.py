@@ -69,6 +69,19 @@ _DRIVER_ATTESTED_R4 = [
 ]
 
 
+_NEW_R5_CONTINUATION = [
+    # added after the round-5 close — zero external attestation yet,
+    # so they go FIRST in the driver's 50-entry check window
+    "q4_order_priority", "q12_priority_by_flag",
+    "q13_order_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_part_supplier_counts",
+    "q17_small_qty_revenue", "q18_large_orders",
+    "q19_bracket_revenue", "q20_excess_shippers",
+    "q21_suppliers_kept_waiting", "q22_idle_balances",
+    "docs_source_report", "docs_source_lang_mix",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from engine.queries import QUERIES
 
@@ -78,9 +91,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     heavy = ["kg_triples", "kg_mentions_all", "kg_dep_morphs",
              "kg_top_entities", "kg_pagerank", "kg_two_hop",
              "kg_components", "ncrf_train_eval"]
+    # 0) brand-new oracled queries with no attestation of any kind
+    out = {k: q[k] for k in _NEW_R5_CONTINUATION if k in q}
     # 1) oracled, no official driver row yet (the rotation target)
-    out = {k: v for k, v in q.items()
-           if k in oracled and k not in attested}
+    out.update((k, v) for k, v in q.items()
+               if k in oracled and k not in attested)
     # 2) oracled, already attested in round 4
     out.update((k, v) for k, v in q.items() if k in oracled)
     # 3) rows-only, with the flagship-pipeline-running heavy entries
