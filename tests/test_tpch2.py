@@ -169,6 +169,25 @@ def test_empty_result_paths_are_typed(ray_session):
     assert len(out17) == 1 and np.isnan(out17["avg_yearly"].iloc[0])
 
 
+@pytest.mark.parametrize("fn_name", [
+    "q13_order_distribution", "q18_large_orders",
+    "q21_suppliers_kept_waiting",
+])
+def test_gsum_bucket_exchange_matches(ray_session, fn_name,
+                                      monkeypatch):
+    """GRAFT_GSUM_DRIVER=0 forces grouped_sum's bucketed hash exchange
+    (instead of the driver fold) for every aggregation stage inside
+    the query — results must be identical."""
+    import engine.tpch2 as t
+
+    fn = getattr(t, fn_name)
+    fast = fn(SF_DIR)
+    monkeypatch.setenv("GRAFT_GSUM_DRIVER", "0")
+    dist = fn(SF_DIR)
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, dist)
+
+
 def test_q13_zero_order_customers_counted(ray_session):
     """custdist totals must cover EVERY customer (zero-count bucket
     synthesized from the footer row count)."""
