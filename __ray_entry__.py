@@ -78,6 +78,7 @@ _NEW_R5_CONTINUATION = [
     "q17_small_qty_revenue", "q18_large_orders",
     "q19_bracket_revenue", "q20_excess_shippers",
     "q21_suppliers_kept_waiting", "q22_idle_balances",
+    "q6_forecast_revenue", "q8_market_share",
     "docs_source_report", "docs_source_lang_mix",
 ]
 
@@ -1796,6 +1797,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON s.s_suppkey = a.l_suppkey
             WHERE 2 * a.q > t.tq AND s.s_nationkey = 3
             ORDER BY s.s_suppkey""",
+        # Q6 shape: exact cents x discount-hundredths integer units
+        "q6_forecast_revenue": """
+            SELECT CAST((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                             * CAST(ROUND(l_discount * 100) AS BIGINT))
+                         + 50) // 100 AS DOUBLE) / 100 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate <  DATE '1997-01-01'
+              AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24""",
+        # Q8 shape: nation-3 market share in the MIDDLE EAST region's
+        # STANDARD-part market, per order year; exact unit sums cast
+        # to DOUBLE before the divide (bit-identical to the engine)
+        "q8_market_share": f"""
+            WITH vol AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       {_REVU} AS u,
+                       CASE WHEN s.s_nationkey = 3 THEN 1 ELSE 0 END
+                           AS isn
+                FROM lineitem l
+                JOIN part p     ON p.p_partkey  = l.l_partkey
+                JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+                JOIN orders o   ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey  = o.o_custkey
+                JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+                JOIN region r   ON r.r_regionkey  = n1.n_regionkey
+                WHERE p.p_type = 'STANDARD'
+                  AND r.r_name = 'MIDDLE EAST'
+                  AND o.o_orderdate >= DATE '1995-01-01'
+                  AND o.o_orderdate <  DATE '1997-01-01')
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN isn = 1 THEN u ELSE 0 END)
+                        AS DOUBLE)
+                       / CAST(SUM(u) AS DOUBLE) AS mkt_share
+            FROM vol GROUP BY 1 ORDER BY 1""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # kg_triples, kg_mentions_all, kg_dep_morphs, kg_top_entities,
         # kg_pagerank, ncrf_label_turns, ncrf_train_eval,

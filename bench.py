@@ -148,6 +148,7 @@ def run_bench() -> dict:
         "q15_top_supplier", "q21_suppliers_kept_waiting",
         "q16_part_supplier_counts", "q20_excess_shippers",
         "docs_source_report", "docs_source_lang_mix",
+        "q6_forecast_revenue", "q8_market_share",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

@@ -1227,6 +1227,209 @@ def q20_excess_shippers(sf_dir: str, part_type: str = "SMALL",
             .reset_index(drop=True))
 
 
+# --------------------------------------------------------------- Q6 --
+def q6_forecast_revenue(sf_dir: str, year: int = 1996,
+                        disc_lo: int = 5, disc_hi: int = 7,
+                        max_qty: int = 24) -> pd.DataFrame:
+    """TPC-H Q6 shape: revenue increase if small-quantity discounts in
+    a band were dropped — SUM(extendedprice * discount) under three
+    scan predicates. One fused pass, one int64 per batch, zero
+    exchanges at any scale; the discount band compares exact
+    hundredths (rint(d*100)), and revenue accumulates in exact
+    1e-4-dollar units (cents x discount-hundredths), mirrored by the
+    identical integer SQL."""
+    from .queries import _rp, _units_2dec
+
+    lo, hi = _day(f"{year}-01-01"), _day(f"{year + 1}-01-01")
+    li = _rp(sf_dir, "lineitem",
+             ["l_quantity", "l_extendedprice", "l_discount",
+              "l_shipdate"])
+
+    def fused(t: pa.Table) -> pd.DataFrame:
+        d = _days(t["l_shipdate"].to_numpy())
+        d100 = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        keep = ((d >= lo) & (d < hi)
+                & (d100 >= disc_lo) & (d100 <= disc_hi)
+                & (t["l_quantity"].to_numpy() < max_qty))
+        if not keep.any():
+            return pd.DataFrame({"u": pd.Series([], dtype="int64")})
+        cents = np.rint(t["l_extendedprice"].to_numpy()[keep] * 100
+                        ).astype(np.int64)
+        return pd.DataFrame({"u": [int((cents * d100[keep]).sum())]})
+
+    parts = li.map_batches(fused, batch_format="pyarrow").to_pandas()
+    units = int(parts["u"].sum()) if "u" in parts.columns else 0
+    return pd.DataFrame(
+        {"revenue": [float(_units_2dec(np.array([units]))[0])]})
+
+
+# --------------------------------------------------------------- Q8 --
+def q8_market_share(sf_dir: str, region: str = "MIDDLE EAST",
+                    nationkey: int = 3, part_type: str = "STANDARD",
+                    year_lo: int = 1995, year_hi: int = 1996,
+                    small_threshold: int = 5_000_000) -> pd.DataFrame:
+    """TPC-H Q8 shape: per order-year, the share of one nation's
+    suppliers in a region's market for one part type (the only
+    remaining TPC-H query expressible without partsupp). Numerator and
+    denominator are exact int64 unit sums per (year, is_nation) slot;
+    the share divides them in float64 with a DOUBLE-cast mirror.
+    Small path: three broadcasts (candidate partkeys; orderkey ->
+    (year, customer-in-region); suppkey -> is-nation) and ONE fused
+    lineitem pass, zero exchanges. Large path: lineitem partials
+    bucket-join the region-filtered order map on orderkey, then the
+    supplier map on suppkey — two packed exchanges, both keyed on
+    corpus-partitioned ids."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .joins import bucket_join
+    from .pathlog import note
+    from .queries import _rp, _rev_units, _tbl_rows
+
+    NY = year_hi - year_lo + 1
+    lo, hi = _day(f"{year_lo}-01-01"), _day(f"{year_hi + 1}-01-01")
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")
+                           ).to_pandas()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")
+                        ).to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    in_region = set(nation.loc[nation["n_regionkey"] == rkey,
+                               "n_nationkey"])
+
+    p = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey", "p_type"]).to_pandas()
+    cand = np.sort(p.loc[p["p_type"] == part_type, "p_partkey"]
+                   .to_numpy(np.int64))
+    pref = ray.put(cand)
+
+    # customer -> in-region flag feeds the order map on both paths
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(in_region)][["c_custkey"]]
+
+    n_orders = _tbl_rows(sf_dir, "orders")
+    li = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_partkey", "l_suppkey",
+              "l_extendedprice", "l_discount"])
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp.assign(
+        isn=(supp["s_nationkey"].to_numpy() == nationkey)
+        .astype(np.int8))[["s_suppkey", "isn"]]
+    sref = _put_sorted(supp, "s_suppkey", "isn")
+
+    def _order_map_frame() -> pd.DataFrame:
+        o = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                          columns=["o_orderkey", "o_custkey",
+                                   "o_orderdate"]).to_pandas()
+        d = _days(o["o_orderdate"].to_numpy())
+        o = o[(d >= lo) & (d < hi)]
+        o = o.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        return pd.DataFrame({
+            "l_orderkey": o["o_orderkey"].to_numpy(np.int64),
+            "oyear": (o["o_orderdate"].to_numpy()
+                      .astype("datetime64[Y]").astype(np.int64)
+                      + 1970)})
+
+    def _slots(year, isn, rev) -> pd.DataFrame:
+        slot = (year - year_lo) * 2 + isn
+        acc = np.zeros(2 * NY, dtype=np.int64)
+        np.add.at(acc, slot, rev)
+        nz = np.flatnonzero(acc)
+        return pd.DataFrame({"slot": nz, "u": acc[nz]})
+
+    if n_orders is not None and n_orders <= small_threshold:
+        note("q8", "fused_broadcast", n_orders=n_orders)
+        om = _order_map_frame().sort_values("l_orderkey")
+        oref = ray.put((
+            np.ascontiguousarray(om["l_orderkey"].to_numpy(np.int64)),
+            np.ascontiguousarray(om["oyear"].to_numpy(np.int64))))
+
+        def fused(t: pa.Table) -> pd.DataFrame:
+            pk = ray.get(pref)
+            ok, oy = ray.get(oref)
+            sk, isn = ray.get(sref)
+            _, phit = _probe(t["l_partkey"].to_numpy(), pk)
+            opos, ohit = _probe(t["l_orderkey"].to_numpy(), ok)
+            keep = phit & ohit
+            if not keep.any():
+                return pd.DataFrame({"slot": pd.Series([], dtype="int64"),
+                                     "u": pd.Series([], dtype="int64")})
+            spos, shit = _probe(t["l_suppkey"].to_numpy()[keep], sk)
+            if not shit.all():
+                raise ValueError(
+                    "q8: lineitem suppkey missing from supplier (FK)")
+            rev = _rev_units(t["l_extendedprice"].to_numpy()[keep],
+                             t["l_discount"].to_numpy()[keep])
+            return _slots(oy[opos[keep]], isn[spos].astype(np.int64),
+                          rev)
+
+        parts = li.map_batches(fused, batch_format="pyarrow").to_pandas()
+    else:
+        note("q8", "bucket_join", n_orders=n_orders)
+        orders = _rp(sf_dir, "orders",
+                     ["o_orderkey", "o_custkey", "o_orderdate"])
+        crf = ray.put(cust)
+
+        def omap(df: pd.DataFrame) -> pd.DataFrame:
+            d = _days(df["o_orderdate"].to_numpy())
+            keep = (d >= lo) & (d < hi)
+            o = df[keep].merge(ray.get(crf), left_on="o_custkey",
+                               right_on="c_custkey")
+            return pd.DataFrame({
+                "l_orderkey": o["o_orderkey"].to_numpy(np.int64),
+                "oyear": (o["o_orderdate"].to_numpy()
+                          .astype("datetime64[Y]").astype(np.int64)
+                          + 1970)})
+
+        o_map = orders.map_batches(omap, batch_format="pandas")
+
+        def li_rows(t: pa.Table) -> pd.DataFrame:
+            pk = ray.get(pref)
+            _, phit = _probe(t["l_partkey"].to_numpy(), pk)
+            return pd.DataFrame({
+                "l_orderkey": t["l_orderkey"].to_numpy()[phit],
+                "l_suppkey": t["l_suppkey"].to_numpy()[phit],
+                "rev": _rev_units(t["l_extendedprice"].to_numpy()[phit],
+                                  t["l_discount"].to_numpy()[phit])})
+
+        with_year = bucket_join(
+            li.map_batches(li_rows, batch_format="pyarrow"), o_map,
+            on="l_orderkey", rows_hint=n_orders)
+
+        import ray.data as rd
+
+        smap = supp.rename(columns={"s_suppkey": "l_suppkey"})
+        with_supp = bucket_join(
+            with_year, rd.from_pandas(smap),
+            on="l_suppkey", rows_hint=_tbl_rows(sf_dir, "supplier"))
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty or "oyear" not in df.columns:
+                return pd.DataFrame({"slot": pd.Series([], dtype="int64"),
+                                     "u": pd.Series([], dtype="int64")})
+            return _slots(df["oyear"].to_numpy(np.int64),
+                          df["isn"].to_numpy(np.int64),
+                          df["rev"].to_numpy(np.int64))
+
+        parts = (with_supp.map_batches(fold, batch_format="pandas")
+                 .to_pandas())
+
+    acc = np.zeros(2 * NY, dtype=np.int64)
+    if not parts.empty and "slot" in parts.columns:
+        np.add.at(acc, parts["slot"].to_numpy(np.int64),
+                  parts["u"].to_numpy(np.int64))
+    pairs = acc.reshape(NY, 2)
+    tot = pairs.sum(axis=1)
+    keep = tot > 0
+    years = (np.arange(NY, dtype=np.int64) + year_lo)[keep]
+    share = pairs[keep, 1].astype(np.float64) / tot[keep].astype(
+        np.float64)
+    return pd.DataFrame({"o_year": years, "mkt_share": share})
+
+
 TPCH2_QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q12_priority_by_flag": q12_priority_by_flag,
@@ -1240,4 +1443,6 @@ TPCH2_QUERIES = {
     "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
     "q16_part_supplier_counts": q16_part_supplier_counts,
     "q20_excess_shippers": q20_excess_shippers,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q8_market_share": q8_market_share,
 }

@@ -16,6 +16,7 @@ SF_DIR = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
     "q4_order_priority", "q12_priority_by_flag",
     "q14_promo_revenue", "q22_idle_balances",
     "q16_part_supplier_counts", "q20_excess_shippers",
+    "q8_market_share",
 ])
 def test_distributed_branch_matches(ray_session, fn_name):
     """small_threshold=0 forces the packed bucket-join / anti-join
