@@ -30,6 +30,12 @@ _REVU = ("(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
          "CAST(ROUND((1 - l_discount) * 100) AS BIGINT))")
 _REVU_2DEC = f"CAST((SUM({_REVU}) + 50) // 100 AS DOUBLE) / 100"
 
+# derived-partsupp supplycost (cents): a pure integer key function,
+# identical to engine/tpch2._ps_cost_cents — the corpus has no
+# partsupp table, so Q2/Q9/Q11 run over this derived relation and the
+# oracle inlines the same expression (the derivation is hash-checked)
+_PSC = "((l_partkey * 7919 + l_suppkey * 104729) % 99991 + 100)"
+
 
 def entry() -> Any:
     """Flagship pipeline: synthesized transcript corpus (input_hint
@@ -72,6 +78,8 @@ _DRIVER_ATTESTED_R4 = [
 _NEW_R5_CONTINUATION = [
     # added after the round-5 close — zero external attestation yet,
     # so they go FIRST in the driver's 50-entry check window
+    "q2_min_cost_supplier", "q9_product_profit",
+    "q11_important_stock",
     "q4_order_priority", "q12_priority_by_flag",
     "q13_order_distribution", "q14_promo_revenue",
     "q15_top_supplier", "q16_part_supplier_counts",
@@ -1832,6 +1840,70 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE)
                        / CAST(SUM(u) AS DOUBLE) AS mkt_share
             FROM vol GROUP BY 1 ORDER BY 1""",
+        # Q2 shape over the derived partsupp: min-supplycost EUROPE
+        # supplier per small STANDARD part (ties kept, top 100)
+        "q2_min_cost_supplier": f"""
+            WITH psc AS (
+                SELECT DISTINCT l_partkey AS ps_partkey,
+                       l_suppkey AS ps_suppkey, {_PSC} AS cents
+                FROM lineitem),
+            cand AS (SELECT p_partkey, p_name FROM part
+                     WHERE p_size <= 10 AND p_type = 'STANDARD'),
+            rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                   FROM supplier
+                   JOIN nation ON s_nationkey = n_nationkey
+                   JOIN region ON n_regionkey = r_regionkey
+                   WHERE r_name = 'EUROPE'),
+            j AS (SELECT s_acctbal, s_name, n_name, p_partkey,
+                         p_name, cents
+                  FROM psc JOIN cand ON ps_partkey = p_partkey
+                  JOIN rs ON ps_suppkey = s_suppkey)
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                   cents / 100.0 AS ps_supplycost
+            FROM j WHERE cents = (SELECT MIN(cents) FROM j j2
+                                  WHERE j2.p_partkey = j.p_partkey)
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100""",
+        # Q9 shape: profit by supplier nation x order year for the
+        # widget product line; cost = derived supplycost x qty, all
+        # in exact 1e-4-dollar integer units
+        "q9_product_profit": f"""
+            WITH prof AS (
+                SELECT n_name,
+                       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       {_REVU} - {_PSC}
+                           * CAST(l_quantity AS BIGINT) * 100 AS u
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE '%widget%')
+            SELECT n_name, o_year,
+                   CAST(SUM(u) AS BIGINT) / 10000.0 AS sum_profit
+            FROM prof GROUP BY n_name, o_year
+            ORDER BY n_name, o_year DESC""",
+        # Q11 shape: parts whose derived stock value held by
+        # NATION_18's suppliers exceeds 1/1000 of that nation's
+        # total (exact integer threshold compare)
+        "q11_important_stock": """
+            WITH ps AS (
+                SELECT l_partkey AS ps_partkey,
+                       l_suppkey AS ps_suppkey,
+                       SUM(CAST(l_quantity AS BIGINT)) AS ps_availqty
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_18'
+                GROUP BY 1, 2),
+            v AS (SELECT ps_partkey,
+                         SUM(((ps_partkey * 7919
+                               + ps_suppkey * 104729) % 99991 + 100)
+                             * ps_availqty) AS cents
+                  FROM ps GROUP BY 1)
+            SELECT ps_partkey, cents / 100.0 AS value FROM v
+            WHERE cents * 1000 > (SELECT SUM(cents) FROM v)
+            ORDER BY value DESC, ps_partkey""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # kg_triples, kg_mentions_all, kg_dep_morphs, kg_top_entities,
         # kg_pagerank, ncrf_label_turns, ncrf_train_eval,

@@ -1430,6 +1430,356 @@ def q8_market_share(sf_dir: str, region: str = "MIDDLE EAST",
     return pd.DataFrame({"o_year": years, "mkt_share": share})
 
 
+# ------------------------------------------------- derived partsupp --
+# The corpus has no partsupp table, so the three remaining TPC-H
+# shapes (Q2/Q9/Q11) run over a DERIVED partsupp relation that both
+# sides can compute exactly:
+#   pairs:       SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+#   supplycost:  a pure integer function of the keys (cents), so no
+#                side ever has to ship or re-aggregate it
+#   availqty:    SUM(CAST(l_quantity AS BIGINT)) per pair (quantities
+#                are integral 1..50 doubles in this corpus)
+# The oracle SQL inlines the identical expressions, so the derivation
+# itself is hash-checked, not just the query on top of it.
+_PS_A, _PS_B, _PS_M, _PS_C = 7919, 104729, 99991, 100
+
+
+def _ps_cost_cents(partkey, suppkey) -> np.ndarray:
+    """Key-derived supplycost (cents) of the derived partsupp. Keys
+    are non-negative ids, so numpy % and DuckDB % agree; at 1e9-scale
+    ids the products stay ~1e14, far inside int64."""
+    return (np.asarray(partkey, np.int64) * _PS_A
+            + np.asarray(suppkey, np.int64) * _PS_B) % _PS_M + _PS_C
+
+
+def _pack_pair(partkey, suppkey) -> np.ndarray:
+    """(partkey, suppkey) -> one int64 exchange key. Same 32-bit guard
+    discipline as the triangle-closure pack (engine/graphalgo.py)."""
+    pk = np.asarray(partkey, np.int64)
+    sk = np.asarray(suppkey, np.int64)
+    if len(pk) and (int(pk.max()) >= 2**32 or int(sk.max()) >= 2**32
+                    or int(pk.min()) < 0 or int(sk.min()) < 0):
+        raise ValueError("partsupp pack: key outside [0, 2^32)")
+    return (pk << np.int64(32)) | sk
+
+
+# --------------------------------------------------------------- Q2 --
+def q2_min_cost_supplier(sf_dir: str, size_max: int = 10,
+                         part_type: str = "STANDARD",
+                         region: str = "EUROPE",
+                         limit: int = 100) -> pd.DataFrame:
+    """TPC-H Q2 shape: for small STANDARD parts, every EUROPE supplier
+    whose (derived) supplycost is the region minimum for that part.
+    Candidate partkeys and region suppkeys ship as two sorted-array
+    broadcasts (both are filtered dimensions); ONE fused lineitem pass
+    emits per-batch-distinct packed pairs, deduped across batches by a
+    grouped_sum bucket exchange whose volume is bounded by
+    |candidate parts| x |region suppliers| per batch — never raw rows.
+    The min-per-part / tie-keeping / dimension decorate runs on the
+    gathered pair set, which is the query's own output precursor
+    (Q2's result is proportional to it by construction)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .queries import _rp, _tbl_rows
+    from .shuffle import grouped_sum
+
+    p = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey", "p_name", "p_type",
+                               "p_size"]).to_pandas()
+    cand = p[(p["p_size"] <= size_max) & (p["p_type"] == part_type)]
+    cand = cand[["p_partkey", "p_name"]]
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")
+                           ).to_pandas()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")
+                        ).to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    nat = nation[nation["n_regionkey"] == rkey][["n_nationkey",
+                                                 "n_name"]]
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet")
+                         ).to_pandas()
+    rs = supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    rs = rs[["s_suppkey", "s_name", "s_acctbal", "n_name"]]
+
+    pref = ray.put(np.sort(cand["p_partkey"].to_numpy(np.int64)))
+    sref = ray.put(np.sort(rs["s_suppkey"].to_numpy(np.int64)))
+
+    n_li = _tbl_rows(sf_dir, "lineitem")
+    li = _rp(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        _, phit = _probe(t["l_partkey"].to_numpy(), ray.get(pref))
+        _, shit = _probe(t["l_suppkey"].to_numpy(), ray.get(sref))
+        keep = phit & shit
+        pk = np.unique(_pack_pair(t["l_partkey"].to_numpy()[keep],
+                                  t["l_suppkey"].to_numpy()[keep]))
+        return pd.DataFrame({"pk": pk,
+                             "one": np.ones(len(pk), np.int64)})
+
+    dist = grouped_sum(li.map_batches(pairs, batch_format="pyarrow"),
+                       keys="pk", sum_cols="one", rows_hint=n_li)
+    got = dist.to_pandas()
+    if got.empty or "pk" not in got.columns:
+        return pd.DataFrame({
+            "s_acctbal": pd.Series([], dtype="float64"),
+            "s_name": pd.Series([], dtype="object"),
+            "n_name": pd.Series([], dtype="object"),
+            "p_partkey": pd.Series([], dtype="int64"),
+            "p_name": pd.Series([], dtype="object"),
+            "ps_supplycost": pd.Series([], dtype="float64")})
+    pk = got["pk"].to_numpy(np.int64)
+    d = pd.DataFrame({"p_partkey": pk >> np.int64(32),
+                      "s_suppkey": pk & np.int64(0xFFFFFFFF)})
+    d["cents"] = _ps_cost_cents(d["p_partkey"], d["s_suppkey"])
+    d = d[d["cents"] == d.groupby("p_partkey")["cents"]
+          .transform("min")]
+    d = (d.merge(rs, on="s_suppkey").merge(cand, on="p_partkey"))
+    d["ps_supplycost"] = d["cents"] / 100.0
+    d = d.sort_values(["s_acctbal", "n_name", "s_name", "p_partkey"],
+                      ascending=[False, True, True, True],
+                      kind="mergesort").head(limit)
+    return d[["s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+              "ps_supplycost"]].reset_index(drop=True)
+
+
+# --------------------------------------------------------------- Q9 --
+def q9_product_profit(sf_dir: str, name_sub: str = "widget",
+                      small_threshold: int = 5_000_000
+                      ) -> pd.DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation x order year over one
+    product line, where profit = revenue - (derived) supplycost x qty,
+    all in exact 1e-4-dollar integer units. Because supplycost is a
+    pure key function, Q9 needs NO partsupp aggregation at all — each
+    lineitem row computes its own cost term in the same fused pass
+    that computes revenue. Group count is bounded (25 nations x a few
+    years), so per-batch partials fold on the driver on both paths.
+    Small path (orders footer under threshold): orderkey->year and
+    suppkey->nationkey ship as sorted broadcasts, ONE fused lineitem
+    pass, zero exchanges. Large path: q8's two packed bucket joins
+    (orderkey, then suppkey)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .joins import bucket_join
+    from .pathlog import note
+    from .queries import _rp, _rev_units, _tbl_rows
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"]
+                           ).to_pandas()
+    p = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey", "p_name"]).to_pandas()
+    cand = np.sort(p.loc[p["p_name"].str.contains(name_sub,
+                                                  regex=False),
+                         "p_partkey"].to_numpy(np.int64))
+    pref = ray.put(cand)
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"]
+                         ).to_pandas()
+    supp = supp.assign(nk=supp["s_nationkey"].astype("int64"))[
+        ["s_suppkey", "nk"]]
+    sref = _put_sorted(supp, "s_suppkey", "nk")
+
+    n_orders = _tbl_rows(sf_dir, "orders")
+    li = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+              "l_extendedprice", "l_discount"])
+
+    def _units(t_or_df, keep=None) -> np.ndarray:
+        g = (lambda c: t_or_df[c].to_numpy() if keep is None
+             else t_or_df[c].to_numpy()[keep])
+        rev = _rev_units(g("l_extendedprice"), g("l_discount"))
+        cost = (_ps_cost_cents(g("l_partkey"), g("l_suppkey"))
+                * np.rint(g("l_quantity")).astype(np.int64) * 100)
+        return rev - cost
+
+    def _partial(nk, oy, u) -> pd.DataFrame:
+        df = pd.DataFrame({"nk": nk, "o_year": oy, "u": u})
+        return df.groupby(["nk", "o_year"], as_index=False)["u"].sum()
+
+    if n_orders is not None and n_orders <= small_threshold:
+        note("q9", "fused_broadcast", n_orders=n_orders)
+        o = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                          columns=["o_orderkey", "o_orderdate"]
+                          ).to_pandas()
+        om = pd.DataFrame({
+            "k": o["o_orderkey"].to_numpy(np.int64),
+            "oyear": (o["o_orderdate"].to_numpy()
+                      .astype("datetime64[Y]").astype(np.int64)
+                      + 1970)}).sort_values("k")
+        oref = ray.put((np.ascontiguousarray(om["k"].to_numpy()),
+                        np.ascontiguousarray(om["oyear"].to_numpy())))
+
+        def fused(t: pa.Table) -> pd.DataFrame:
+            _, phit = _probe(t["l_partkey"].to_numpy(),
+                             ray.get(pref))
+            if not phit.any():
+                return _partial(np.array([], np.int64),
+                                np.array([], np.int64),
+                                np.array([], np.int64))
+            ok, oy = ray.get(oref)
+            opos, ohit = _probe(t["l_orderkey"].to_numpy()[phit], ok)
+            sk, nk = ray.get(sref)
+            spos, shit = _probe(t["l_suppkey"].to_numpy()[phit], sk)
+            if not (ohit.all() and shit.all()):
+                raise ValueError("q9: lineitem FK missing from "
+                                 "orders/supplier")
+            return _partial(nk[spos], oy[opos], _units(t, phit))
+
+        parts = li.map_batches(fused, batch_format="pyarrow"
+                               ).to_pandas()
+    else:
+        note("q9", "bucket_join", n_orders=n_orders)
+        import ray.data as rd
+
+        orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+        def omap(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "oyear": (df["o_orderdate"].to_numpy()
+                          .astype("datetime64[Y]").astype(np.int64)
+                          + 1970)})
+
+        def li_rows(t: pa.Table) -> pd.DataFrame:
+            _, phit = _probe(t["l_partkey"].to_numpy(),
+                             ray.get(pref))
+            return pd.DataFrame({
+                "l_orderkey": t["l_orderkey"].to_numpy()[phit],
+                "l_suppkey": t["l_suppkey"].to_numpy()[phit],
+                "u": _units(t, phit)})
+
+        with_year = bucket_join(
+            li.map_batches(li_rows, batch_format="pyarrow"),
+            orders.map_batches(omap, batch_format="pandas"),
+            on="l_orderkey", rows_hint=n_orders)
+        smap = supp.rename(columns={"s_suppkey": "l_suppkey"})
+        with_supp = bucket_join(
+            with_year, rd.from_pandas(smap), on="l_suppkey",
+            rows_hint=_tbl_rows(sf_dir, "supplier"))
+
+        def fold(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty or "oyear" not in df.columns:
+                return _partial(np.array([], np.int64),
+                                np.array([], np.int64),
+                                np.array([], np.int64))
+            return _partial(df["nk"].to_numpy(np.int64),
+                            df["oyear"].to_numpy(np.int64),
+                            df["u"].to_numpy(np.int64))
+
+        parts = (with_supp.map_batches(fold, batch_format="pandas")
+                 .to_pandas())
+
+    if parts.empty or "nk" not in parts.columns:
+        return pd.DataFrame({
+            "n_name": pd.Series([], dtype="object"),
+            "o_year": pd.Series([], dtype="int64"),
+            "sum_profit": pd.Series([], dtype="float64")})
+    agg = parts.groupby(["nk", "o_year"], as_index=False)["u"].sum()
+    agg = agg.merge(nation, left_on="nk", right_on="n_nationkey")
+    agg["sum_profit"] = agg["u"].to_numpy(np.int64) / 10000.0
+    agg = agg.sort_values(["n_name", "o_year"],
+                          ascending=[True, False], kind="mergesort")
+    return agg[["n_name", "o_year", "sum_profit"]].reset_index(
+        drop=True)
+
+
+# -------------------------------------------------------------- Q11 --
+def q11_important_stock(sf_dir: str, nation: str = "NATION_18",
+                        frac_den: int = 1000) -> pd.DataFrame:
+    """TPC-H Q11 shape: parts whose (derived) stock value held by one
+    nation's suppliers exceeds 1/frac_den of that nation's total.
+    availqty = SUM(qty) per (part, supplier) pair runs as per-batch
+    Arrow partials -> ONE grouped_sum bucket exchange on the packed
+    pair key; a second grouped_sum folds pair values (cost x qty
+    cents) per part. The global total folds from per-batch one-row
+    partials, then the threshold compares EXACT integers
+    (value * frac_den > total) on the per-part set — no float
+    fraction, so partial-sum order can never flip a boundary part.
+    Only qualifying rows (the query's actual output) gather."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .queries import _rp, _tbl_rows
+    from .shuffle import grouped_sum
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")
+                        ).to_pandas()
+    nkey = int(nat.loc[nat["n_name"] == nation, "n_nationkey"].iloc[0])
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"]
+                         ).to_pandas()
+    sref = ray.put(np.sort(
+        supp.loc[supp["s_nationkey"] == nkey, "s_suppkey"]
+        .to_numpy(np.int64)))
+
+    n_li = _tbl_rows(sf_dir, "lineitem")
+    li = _rp(sf_dir, "lineitem",
+             ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def pair_qty(t: pa.Table) -> pd.DataFrame:
+        _, shit = _probe(t["l_suppkey"].to_numpy(), ray.get(sref))
+        pk = _pack_pair(t["l_partkey"].to_numpy()[shit],
+                        t["l_suppkey"].to_numpy()[shit])
+        qty = np.rint(t["l_quantity"].to_numpy()[shit]).astype(
+            np.int64)
+        df = pd.DataFrame({"pk": pk, "qty": qty})
+        return df.groupby("pk", as_index=False)["qty"].sum()
+
+    pairs = grouped_sum(
+        li.map_batches(pair_qty, batch_format="pyarrow"),
+        keys="pk", sum_cols="qty", rows_hint=n_li)
+
+    def pair_value(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "pk" not in df.columns:
+            return pd.DataFrame({
+                "ps_partkey": pd.Series([], dtype="int64"),
+                "cents": pd.Series([], dtype="int64")})
+        pk = df["pk"].to_numpy(np.int64)
+        part = pk >> np.int64(32)
+        cost = _ps_cost_cents(part, pk & np.int64(0xFFFFFFFF))
+        return pd.DataFrame({"ps_partkey": part,
+                             "cents": cost * df["qty"]
+                             .to_numpy(np.int64)})
+
+    per_part = grouped_sum(
+        pairs.map_batches(pair_value, batch_format="pandas"),
+        keys="ps_partkey", sum_cols="cents",
+        rows_hint=n_li).materialize()
+
+    def tot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "cents" not in df.columns:
+            return pd.DataFrame({"t": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"t": [int(df["cents"].sum())]})
+
+    tp = per_part.map_batches(tot_partial, batch_format="pandas"
+                              ).to_pandas()
+    total = int(tp["t"].sum()) if "t" in tp.columns else 0
+
+    def qualify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "cents" not in df.columns:
+            return pd.DataFrame({
+                "ps_partkey": pd.Series([], dtype="int64"),
+                "value": pd.Series([], dtype="float64")})
+        keep = df["cents"].to_numpy(np.int64) * frac_den > total
+        d = df[keep]
+        return pd.DataFrame({
+            "ps_partkey": d["ps_partkey"].to_numpy(np.int64),
+            "value": d["cents"].to_numpy(np.int64) / 100.0})
+
+    out = per_part.map_batches(qualify, batch_format="pandas"
+                               ).to_pandas()
+    if out.empty or "value" not in out.columns:
+        return pd.DataFrame({
+            "ps_partkey": pd.Series([], dtype="int64"),
+            "value": pd.Series([], dtype="float64")})
+    return out.sort_values(["value", "ps_partkey"],
+                           ascending=[False, True], kind="mergesort"
+                           ).reset_index(drop=True)
+
+
 TPCH2_QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q12_priority_by_flag": q12_priority_by_flag,
@@ -1445,4 +1795,7 @@ TPCH2_QUERIES = {
     "q20_excess_shippers": q20_excess_shippers,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q8_market_share": q8_market_share,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_stock": q11_important_stock,
 }

@@ -16,7 +16,7 @@ SF_DIR = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
     "q4_order_priority", "q12_priority_by_flag",
     "q14_promo_revenue", "q22_idle_balances",
     "q16_part_supplier_counts", "q20_excess_shippers",
-    "q8_market_share",
+    "q8_market_share", "q9_product_profit",
 ])
 def test_distributed_branch_matches(ray_session, fn_name):
     """small_threshold=0 forces the packed bucket-join / anti-join
@@ -172,7 +172,8 @@ def test_empty_result_paths_are_typed(ray_session):
 
 @pytest.mark.parametrize("fn_name", [
     "q13_order_distribution", "q18_large_orders",
-    "q21_suppliers_kept_waiting",
+    "q21_suppliers_kept_waiting", "q2_min_cost_supplier",
+    "q11_important_stock",
 ])
 def test_gsum_bucket_exchange_matches(ray_session, fn_name,
                                       monkeypatch):
@@ -200,3 +201,62 @@ def test_q13_zero_order_customers_counted(ray_session):
     n_cust = pq.read_metadata(
         os.path.join(SF_DIR, "customer.parquet")).num_rows
     assert int(out["custdist"].sum()) == n_cust
+
+
+def test_pack_pair_guards_32bit_keys():
+    """The packed (partkey, suppkey) exchange key must refuse ids that
+    would collide in the 32/32 split (same discipline as the triangle
+    pack in engine/graphalgo.py)."""
+    from engine.tpch2 import _pack_pair
+
+    ok = _pack_pair(np.array([1, 2]), np.array([3, 4]))
+    assert ok.tolist() == [(1 << 32) | 3, (2 << 32) | 4]
+    with pytest.raises(ValueError):
+        _pack_pair(np.array([2**32]), np.array([0]))
+    with pytest.raises(ValueError):
+        _pack_pair(np.array([0]), np.array([-1]))
+
+
+def test_q2_keeps_all_min_cost_ties(ray_session):
+    """Every supplier attaining a part's regional minimum supplycost
+    appears — per part, all emitted costs equal that part's min."""
+    from engine.tpch2 import q2_min_cost_supplier
+
+    out = q2_min_cost_supplier(SF_DIR, size_max=30)
+    assert len(out) > 0
+    per_part = out.groupby("p_partkey")["ps_supplycost"]
+    assert (per_part.transform("min") == out["ps_supplycost"]).all()
+
+
+def test_q11_threshold_is_exact_and_ordered(ray_session):
+    """The qualifying set matches a direct integer recomputation, and
+    output is value-desc / partkey-asc ordered."""
+    import pyarrow.parquet as pq
+
+    from engine.tpch2 import q11_important_stock
+
+    out = q11_important_stock(SF_DIR)
+    assert len(out) > 0
+    v = out["value"].to_numpy()
+    assert (v[:-1] >= v[1:]).all()
+
+    li = pq.read_table(os.path.join(SF_DIR, "lineitem.parquet"),
+                       columns=["l_partkey", "l_suppkey",
+                                "l_quantity"]).to_pandas()
+    supp = pq.read_table(os.path.join(SF_DIR, "supplier.parquet")
+                         ).to_pandas()
+    nat = pq.read_table(os.path.join(SF_DIR, "nation.parquet")
+                        ).to_pandas()
+    nk = int(nat.loc[nat["n_name"] == "NATION_18",
+                     "n_nationkey"].iloc[0])
+    sk = set(supp.loc[supp["s_nationkey"] == nk, "s_suppkey"])
+    d = li[li["l_suppkey"].isin(sk)]
+    ps = d.groupby(["l_partkey", "l_suppkey"], as_index=False)[
+        "l_quantity"].sum()
+    cost = ((ps["l_partkey"] * 7919 + ps["l_suppkey"] * 104729)
+            % 99991 + 100).astype("int64")
+    cents = (cost * ps["l_quantity"].astype("int64")).groupby(
+        ps["l_partkey"]).sum()
+    total = int(cents.sum())
+    want = cents[cents * 1000 > total]
+    assert set(out["ps_partkey"]) == set(want.index)
