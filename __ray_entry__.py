@@ -1884,8 +1884,9 @@ def oracle_sql() -> dict[str, str]:
             FROM prof GROUP BY n_name, o_year
             ORDER BY n_name, o_year DESC""",
         # Q11 shape: parts whose derived stock value held by
-        # NATION_18's suppliers exceeds 1/1000 of that nation's
-        # total (exact integer threshold compare)
+        # NATION_18's suppliers exceeds 2x the nation's average
+        # per-part value (exact integer compare; scale-free, unlike
+        # TPC-H's constant fraction which needs 1/SF rescaling)
         "q11_important_stock": """
             WITH ps AS (
                 SELECT l_partkey AS ps_partkey,
@@ -1902,7 +1903,8 @@ def oracle_sql() -> dict[str, str]:
                              * ps_availqty) AS cents
                   FROM ps GROUP BY 1)
             SELECT ps_partkey, cents / 100.0 AS value FROM v
-            WHERE cents * 1000 > (SELECT SUM(cents) FROM v)
+            WHERE cents * (SELECT COUNT(*) FROM v)
+                  > 2 * (SELECT SUM(cents) FROM v)
             ORDER BY value DESC, ps_partkey""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # kg_triples, kg_mentions_all, kg_dep_morphs, kg_top_entities,

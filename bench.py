@@ -149,6 +149,8 @@ def run_bench() -> dict:
         "q16_part_supplier_counts", "q20_excess_shippers",
         "docs_source_report", "docs_source_lang_mix",
         "q6_forecast_revenue", "q8_market_share",
+        "q2_min_cost_supplier", "q9_product_profit",
+        "q11_important_stock",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

@@ -1688,17 +1688,21 @@ def q9_product_profit(sf_dir: str, name_sub: str = "widget",
 
 # -------------------------------------------------------------- Q11 --
 def q11_important_stock(sf_dir: str, nation: str = "NATION_18",
-                        frac_den: int = 1000) -> pd.DataFrame:
+                        mult: int = 2) -> pd.DataFrame:
     """TPC-H Q11 shape: parts whose (derived) stock value held by one
-    nation's suppliers exceeds 1/frac_den of that nation's total.
+    nation's suppliers exceeds mult x the nation's AVERAGE per-part
+    value. TPC-H scales its fixed fraction by 1/SF for exactly this
+    reason — a constant fraction degenerates as the part space grows
+    (1/1000 kept 162 parts at sf0.001 and ZERO at sf0.1); the
+    average-relative form is scale-free at any corpus size.
     availqty = SUM(qty) per (part, supplier) pair runs as per-batch
     Arrow partials -> ONE grouped_sum bucket exchange on the packed
     pair key; a second grouped_sum folds pair values (cost x qty
-    cents) per part. The global total folds from per-batch one-row
-    partials, then the threshold compares EXACT integers
-    (value * frac_den > total) on the per-part set — no float
-    fraction, so partial-sum order can never flip a boundary part.
-    Only qualifying rows (the query's actual output) gather."""
+    cents) per part. The global total and part count fold from
+    per-batch one-row partials, then the threshold compares EXACT
+    integers (value * count > mult * total), so partial-sum order can
+    never flip a boundary part. Only qualifying rows (the query's
+    actual output) gather."""
     import pyarrow.parquet as pq
     import ray
 
@@ -1751,19 +1755,23 @@ def q11_important_stock(sf_dir: str, nation: str = "NATION_18",
 
     def tot_partial(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty or "cents" not in df.columns:
-            return pd.DataFrame({"t": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"t": [int(df["cents"].sum())]})
+            return pd.DataFrame({"t": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"t": [int(df["cents"].sum())],
+                             "n": [len(df)]})
 
     tp = per_part.map_batches(tot_partial, batch_format="pandas"
                               ).to_pandas()
     total = int(tp["t"].sum()) if "t" in tp.columns else 0
+    count = int(tp["n"].sum()) if "n" in tp.columns else 0
 
     def qualify(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty or "cents" not in df.columns:
             return pd.DataFrame({
                 "ps_partkey": pd.Series([], dtype="int64"),
                 "value": pd.Series([], dtype="float64")})
-        keep = df["cents"].to_numpy(np.int64) * frac_den > total
+        keep = (df["cents"].to_numpy(np.int64) * count
+                > mult * total)
         d = df[keep]
         return pd.DataFrame({
             "ps_partkey": d["ps_partkey"].to_numpy(np.int64),
