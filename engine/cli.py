@@ -7,10 +7,13 @@ nemo.py:433-464, re-expressed):
   python -m engine.cli eval --gold DIR --pred DIR --keys subj,pred,obj
   python -m engine.cli docjson --input DIR --out DIR [--verbosity 0|1|2]
                                [--md-variant joint|md] [--include-lattices]
+  python -m engine.cli serve --host H --port P
 
 `docjson` is the batch analog of the reference's FastAPI surface
 (api_main.py:470-742): Doc-shaped JSON per turn, verbosity-gated
 fields, and the API route's standalone-`md` decode via --md-variant.
+`serve` is the request-level analog of the same surface — the six
+endpoints on a stdlib HTTP server (engine/serve.py).
 
 On a real cluster these run via `ray job submit -- python -m engine.cli
 run ...`; locally they auto-init Ray (guarded)."""
@@ -84,7 +87,20 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None,
                    help="parquet path; omit to print head to stdout")
 
+    p = sub.add_parser("serve")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8090)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "serve":
+        # request-level surface (api_main.py analog) — pure per-sentence
+        # chain, no Ray session (engine/serve.py docstring)
+        from .serve import main as serve_main
+
+        serve_main(args.host, args.port)
+        return 0
+
     started = _ensure_ray()
 
     if args.cmd == "synth":
