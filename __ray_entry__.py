@@ -79,7 +79,7 @@ _NEW_R5_CONTINUATION = [
     # added after the round-5 close — zero external attestation yet,
     # so they go FIRST in the driver's 50-entry check window
     "q2_min_cost_supplier", "q9_product_profit",
-    "q11_important_stock",
+    "q11_important_stock", "events_user_paths",
     "q4_order_priority", "q12_priority_by_flag",
     "q13_order_distribution", "q14_promo_revenue",
     "q15_top_supplier", "q16_part_supplier_counts",
@@ -1906,6 +1906,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE cents * (SELECT COUNT(*) FROM v)
                   > 2 * (SELECT SUM(cents) FROM v)
             ORDER BY value DESC, ps_partkey""",
+        # ordered string aggregation per key: each user's '>'-joined
+        # path of their first 8 event types by the total (ts,
+        # event_id) order
+        "events_user_paths": """
+            WITH ranked AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events)
+            SELECT user_id,
+                   STRING_AGG(event_type, '>' ORDER BY rn) AS path,
+                   COUNT(*) AS path_len
+            FROM ranked WHERE rn <= 8
+            GROUP BY user_id ORDER BY user_id""",
         # rows-only (non-SQL-expressible): knn_lsh_query, knn_ivf_query,
         # kg_triples, kg_mentions_all, kg_dep_morphs, kg_top_entities,
         # kg_pagerank, ncrf_label_turns, ncrf_train_eval,

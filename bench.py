@@ -150,7 +150,7 @@ def run_bench() -> dict:
         "docs_source_report", "docs_source_lang_mix",
         "q6_forecast_revenue", "q8_market_share",
         "q2_min_cost_supplier", "q9_product_profit",
-        "q11_important_stock",
+        "q11_important_stock", "events_user_paths",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

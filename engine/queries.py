@@ -3402,6 +3402,52 @@ def events_first_last(sf_dir: str) -> pd.DataFrame:
 QUERIES["events_first_last"] = events_first_last
 
 
+def events_user_paths(sf_dir: str, n: int = 8) -> pd.DataFrame:
+    """Ordered string aggregation per key (STRING_AGG ... ORDER BY
+    analog): each user's '>'-joined path of their first n event types
+    by (ts, event_id). keep-smallest-n is a mergeable partial — each
+    batch emits at most n (ts_ms, event_id, type) rows per user, the
+    keyed fold re-applies the same head-n reduction on complete
+    per-user partials, and only the final fold materializes strings
+    (shuffling joined strings would forfeit the cap). The (ts,
+    event_id) composite makes the order total, so the path is
+    partitioning-independent."""
+    from .shuffle import grouped_fold
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_id", "ts",
+                                "event_type"])
+
+    def head_n(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts_ms", "event_id"],
+                           kind="mergesort")
+        return d.groupby("user_id", as_index=False).head(n)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(ts_ms=df["ts"].astype("datetime64[ms]")
+                       .astype("int64"))
+        return head_n(df[["user_id", "ts_ms", "event_id",
+                          "event_type"]])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = head_n(g)
+        agg = d.groupby("user_id")["event_type"].agg(
+            path=">".join, path_len="size").reset_index()
+        agg["path_len"] = agg["path_len"].astype("int64")
+        return agg
+
+    return (grouped_fold(ds.map_batches(combine,
+                                        batch_format="pandas"),
+                         "user_id", fold,
+                         rows_hint=_tbl_rows(sf_dir, "events"))
+            .to_pandas()
+            .astype({"user_id": "int64"})
+            .sort_values("user_id")
+            .reset_index(drop=True)[["user_id", "path", "path_len"]])
+
+
+QUERIES["events_user_paths"] = events_user_paths
+
+
 def lineitem_corr_stats(sf_dir: str) -> pd.DataFrame:
     """Streaming second-moment statistics per return flag:
     stddev_samp(quantity), covar_samp and corr(quantity,

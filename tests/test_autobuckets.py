@@ -434,3 +434,24 @@ def test_prefix_sum_matches_pandas_forced_buckets(ray_session):
     pd.testing.assert_frame_equal(got[["id", "w", "c"]],
                                   want[["id", "w", "c"]])
     assert total == int(df["w"].sum())
+
+
+def test_events_user_paths_bucket_exchange_matches(ray_session,
+                                                   monkeypatch):
+    """The ordered string-agg's keep-smallest-n partial must be
+    merge-exact: the forced bucketed grouped_fold path produces the
+    identical per-user paths as the driver fold."""
+    import pandas as pd
+
+    from engine.queries import events_user_paths
+
+    sf = "/root/testdata/sf0.001"
+    fast = events_user_paths(sf)
+    monkeypatch.setenv("GRAFT_GSUM_DRIVER", "0")
+    dist = events_user_paths(sf)
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, dist)
+    # the cap binds: no path exceeds n types, and at least one user
+    # has a multi-event path (the join separator does real work)
+    assert fast["path_len"].max() <= 8
+    assert fast["path"].str.contains(">").any()
