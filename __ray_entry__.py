@@ -79,7 +79,8 @@ _NEW_R5_CONTINUATION = [
     # added after the round-5 close — zero external attestation yet,
     # so they go FIRST in the driver's 50-entry check window
     "q2_min_cost_supplier", "q9_product_profit",
-    "q11_important_stock", "events_user_paths",
+    "q11_important_stock", "events_user_paths", "embed_dim_stats",
+    "orders_daily_cum_share",
     "q4_order_priority", "q12_priority_by_flag",
     "q13_order_distribution", "q14_promo_revenue",
     "q15_top_supplier", "q16_part_supplier_counts",
@@ -1906,6 +1907,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE cents * (SELECT COUNT(*) FROM v)
                   > 2 * (SELECT SUM(cents) FROM v)
             ORDER BY value DESC, ps_partkey""",
+        # cumulative revenue share by order day (running-total window
+        # over a calendar-bounded daily fold; exact int64 cents)
+        "orders_daily_cum_share": """
+            WITH daily AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1)
+            SELECT day, CAST(cents AS DOUBLE) / 100 AS revenue,
+                   CAST(SUM(cents) OVER (ORDER BY day) AS DOUBLE)
+                       / CAST((SELECT SUM(cents) FROM daily)
+                              AS DOUBLE) AS cum_share
+            FROM daily ORDER BY day""",
+        # per-dimension mean/variance of the embedding column (the
+        # standard-scaler fit); positions via the parallel-UNNEST
+        # generate_series trick, 6-dp compare per the corr_stats
+        # discipline
+        "embed_dim_stats": """
+            SELECT dim, COUNT(*) AS n,
+                   ROUND(AVG(x), 6) AS mean,
+                   ROUND(VAR_SAMP(x), 6) AS var
+            FROM (SELECT UNNEST(embedding) AS x,
+                         UNNEST(generate_series(
+                             1, len(embedding))) AS dim
+                  FROM embeddings)
+            GROUP BY dim ORDER BY dim""",
         # ordered string aggregation per key: each user's '>'-joined
         # path of their first 8 event types by the total (ts,
         # event_id) order

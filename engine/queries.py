@@ -4160,6 +4160,94 @@ def embed_quantize_int8(sf_dir: str) -> pd.DataFrame:
 QUERIES["embed_quantize_int8"] = embed_quantize_int8
 
 
+def embed_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension mean/variance of the embedding column — the
+    feature-normalization fit (the statistics a whitening or
+    standard-scaler step needs before training). Per batch ONE
+    (count, sum-vector, sumsq-vector) partial — 2d floats + 1 int
+    regardless of batch size — folded on the driver (bounded by d,
+    never by corpus). var is the exact two-pass-free sample form
+    (sumsq - sum^2/n)/(n-1) in float64; embeddings are zero-centered
+    floats so there is no cancellation regime, and ROUND(...,6)
+    absorbs the ~1e-15 summation-order drift vs DuckDB's streaming
+    VAR_SAMP (house discipline from lineitem_corr_stats)."""
+    from .simsearch import _matrix
+
+    ds = _rp(sf_dir, "embeddings", ["embedding"])
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"n": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="object"),
+                                 "sq": pd.Series([], dtype="object")})
+        m = _matrix(t["embedding"], np.float64)
+        return pd.DataFrame({"n": [m.shape[0]], "s": [m.sum(axis=0)],
+                             "sq": [(m * m).sum(axis=0)]})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if parts.empty or "n" not in parts.columns or not len(parts):
+        return pd.DataFrame({"dim": pd.Series([], dtype="int64"),
+                             "n": pd.Series([], dtype="int64"),
+                             "mean": pd.Series([], dtype="float64"),
+                             "var": pd.Series([], dtype="float64")})
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    sq = np.sum(np.stack(parts["sq"].to_numpy()), axis=0)
+    mean = s / n
+    var = (sq - s * s / n) / (n - 1)
+    return pd.DataFrame({
+        "dim": np.arange(1, len(s) + 1, dtype=np.int64),
+        "n": np.full(len(s), n, dtype=np.int64),
+        "mean": np.round(mean, 6), "var": np.round(var, 6)})
+
+
+QUERIES["embed_dim_stats"] = embed_dim_stats
+
+
+def orders_daily_cum_share(sf_dir: str) -> pd.DataFrame:
+    """Cumulative revenue share by order day (the ramp curve an
+    ingestion-progress or backfill-coverage dashboard plots): daily
+    cents fold through ONE grouped_sum keyed on epoch-day, then a
+    driver-side cumulative sum over the day series — bounded by the
+    CALENDAR (a fixed date range is a few thousand rows at any corpus
+    size), never by order count. Revenue accumulates in exact int64
+    cents; both divisions happen once, in float64, from identical
+    integers on both sides of the oracle."""
+    from .shuffle import grouped_sum
+
+    ds = _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        d = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+             .astype(np.int64))
+        cents = np.rint(t["o_totalprice"].to_numpy() * 100).astype(
+            np.int64)
+        df = pd.DataFrame({"day": d, "cents": cents})
+        return df.groupby("day", as_index=False)["cents"].sum()
+
+    daily = grouped_sum(
+        ds.map_batches(part, batch_format="pyarrow"),
+        keys="day", sum_cols="cents",
+        rows_hint=_tbl_rows(sf_dir, "orders")).to_pandas()
+    if daily.empty or "day" not in daily.columns:
+        return pd.DataFrame({
+            "day": pd.Series([], dtype="datetime64[ns]"),
+            "revenue": pd.Series([], dtype="float64"),
+            "cum_share": pd.Series([], dtype="float64")})
+    daily = daily.sort_values("day").reset_index(drop=True)
+    cents = daily["cents"].to_numpy(np.int64)
+    cum = np.cumsum(cents)
+    total = float(cum[-1])
+    return pd.DataFrame({
+        "day": (daily["day"].to_numpy(np.int64)
+                .astype("datetime64[D]").astype("datetime64[ns]")),
+        "revenue": cents / 100.0,
+        "cum_share": cum.astype(np.float64) / total})
+
+
+QUERIES["orders_daily_cum_share"] = orders_daily_cum_share
+
+
 def docs_token_entropy(sf_dir: str) -> pd.DataFrame:
     """Per-doc Shannon entropy (log2) of the token distribution — the
     repetitiveness / gibberish quality signal (low entropy = boiler-

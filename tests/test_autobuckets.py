@@ -455,3 +455,22 @@ def test_events_user_paths_bucket_exchange_matches(ray_session,
     # has a multi-event path (the join separator does real work)
     assert fast["path_len"].max() <= 8
     assert fast["path"].str.contains(">").any()
+
+
+def test_orders_daily_cum_share_bucket_exchange(ray_session,
+                                                monkeypatch):
+    """Forced bucketed grouped_sum path must yield the identical ramp,
+    and the ramp must be a valid CDF (monotone, ends at 1.0)."""
+    import numpy as np
+    import pandas as pd
+
+    from engine.queries import orders_daily_cum_share
+
+    sf = "/root/testdata/sf0.001"
+    fast = orders_daily_cum_share(sf)
+    monkeypatch.setenv("GRAFT_GSUM_DRIVER", "0")
+    dist = orders_daily_cum_share(sf)
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, dist)
+    cs = fast["cum_share"].to_numpy()
+    assert (np.diff(cs) >= 0).all() and cs[-1] == 1.0

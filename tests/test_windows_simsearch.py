@@ -425,3 +425,26 @@ def test_parts_coorder_triangles_bruteforce(ray_session, tmp_path, monkeypatch):
     monkeypatch.setenv("GRAFT_TRI_BCAST", "1")
     got3 = parts_coorder_triangles(str(tmp_path))
     assert got3.values.tolist() == [[len(nodes), len(edges), tri]]
+
+
+def test_embed_dim_stats_matches_numpy(ray_session):
+    """The constant-size (n, sum, sumsq) partials must reproduce the
+    direct two-pass numpy statistics exactly at 6 dp, for every
+    dimension."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from engine.queries import embed_dim_stats
+
+    sf = "/root/testdata/sf0.001"
+    out = embed_dim_stats(sf)
+    emb = pq.read_table(sf + "/embeddings.parquet",
+                        columns=["embedding"])["embedding"]
+    m = np.asarray(emb.to_pylist(), dtype=np.float64)
+    assert list(out["dim"]) == list(range(1, m.shape[1] + 1))
+    assert (out["n"] == m.shape[0]).all()
+    np.testing.assert_allclose(out["mean"], np.round(m.mean(axis=0), 6),
+                               atol=1e-9)
+    np.testing.assert_allclose(out["var"],
+                               np.round(m.var(axis=0, ddof=1), 6),
+                               atol=1e-9)
