@@ -39,7 +39,29 @@ def _rp(sf_dir: str, table: str, columns: list[str] | None = None):
         kwargs["override_num_blocks"] = max(1, min(cpus * 2, rows // 1000))
     except Exception:
         pass
-    return rd.read_parquet(path, **kwargs)
+    ds = rd.read_parquet(path, **kwargs)
+    # Null-text policy, applied at the single documents choke point:
+    # NULL -> "" (an empty doc). Real 100-TB corpora carry missing
+    # text, and a None reaching pandas .str kernels turns into NaN ->
+    # astype(int64) raises, killing the stage (observed on 7 of the
+    # doc operators with a synthetic null). fill_null is one
+    # vectorized Arrow kernel, fused into the read task, and a no-op
+    # pass-through when the block has no nulls; operators that drop
+    # empty docs (trigram/entropy/shingles) drop filled rows the same
+    # way, so the testdata oracles are unaffected.
+    if table == "documents" and (columns is None or "text" in columns):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def _fill_text(t: pa.Table) -> pa.Table:
+            col = t["text"]
+            if col.null_count:
+                t = t.set_column(t.column_names.index("text"), "text",
+                                 pc.fill_null(col, ""))
+            return t
+
+        ds = ds.map_batches(_fill_text, batch_format="pyarrow")
+    return ds
 
 
 def _bparts(num_buckets: int = 64) -> int:
