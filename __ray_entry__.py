@@ -1941,7 +1941,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, event_type,
                        ROW_NUMBER() OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id) AS rn
-                FROM events)
+                FROM events WHERE event_type IS NOT NULL)
             SELECT user_id,
                    STRING_AGG(event_type, '>' ORDER BY rn) AS path,
                    COUNT(*) AS path_len

@@ -523,7 +523,8 @@ class BatchKgExtractor:
 
 
 def extract_packs(extractor: BatchKgExtractor, batch: pa.Table,
-                  num_buckets: int) -> pa.Table:
+                  num_buckets: int,
+                  skip_buckets: frozenset = frozenset()) -> pa.Table:
     """KgTurnProcessor.__call__ body: vectorized extract + map-side
     partition packing (one columnar payload row per conv-hash bucket,
     engine.colresolve.pack_entries — dictionary-encoded strings + flat
@@ -537,9 +538,29 @@ def extract_packs(extractor: BatchKgExtractor, batch: pa.Table,
     texts = batch["text"].to_pylist()
     conv_ids = batch["conv_id"].to_pylist()
     turn_idxs = batch["turn_idx"].to_pylist()
+    fnv_memo: dict[str, int] = {}  # turns of one conv arrive together
+    if skip_buckets:
+        # resume keep-filter, fused INSIDE the UDF on purpose: a
+        # separate map_batches(keep) stage emits 0-row TRANSCRIPT-
+        # schema blocks when a whole block's buckets are complete, Ray
+        # skips downstream UDFs on empty blocks, and the schema-less
+        # block then kills the hash shuffle keyed on 'bucket'
+        # (observed: resume crash once most buckets were done). Here
+        # the actor always sees the original non-empty block and
+        # always returns the typed pack schema.
+        kept = []
+        for i, c in enumerate(conv_ids):
+            h = fnv_memo.get(c)
+            if h is None:
+                h = fnv_memo[c] = _fnv64(c)
+            if h % num_buckets not in skip_buckets:
+                kept.append(i)
+        if len(kept) != len(conv_ids):
+            texts = [texts[i] for i in kept]
+            conv_ids = [conv_ids[i] for i in kept]
+            turn_idxs = [turn_idxs[i] for i in kept]
     results = extractor.extract(texts)
     packs: dict[int, list] = {}
-    fnv_memo: dict[str, int] = {}  # turns of one conv arrive together
     for conv_id, turn_idx, (ments, rels) in zip(conv_ids, turn_idxs, results):
         if not ments:
             continue

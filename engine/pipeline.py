@@ -41,9 +41,23 @@ def fnv_bucket(s: str, buckets: int) -> int:
 
 
 def read_transcripts(path: str):
+    """All flagship/docjson/mentions reads come through here, so the
+    null-text policy lives here too: a NULL turn becomes an empty turn
+    (no tokens -> no mentions), the same NULL == "" rule the documents
+    read applies (engine/queries._rp). One Arrow fill_null kernel,
+    fused into the read task, pass-through when the block is clean —
+    before this, a single NULL text killed the KgTurnProcessor stage."""
     import ray.data as rd
 
-    return rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+    def _fill(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if col.null_count:
+            t = t.set_column(t.column_names.index("text"), "text",
+                             pc.fill_null(col, ""))
+        return t
+
+    return (rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+            .map_batches(_fill, batch_format="pyarrow"))
 
 
 def input_meta(path: str) -> dict:
@@ -231,16 +245,22 @@ class KgTurnProcessor:
     ~num_buckets rows per batch instead of one per turn; mention-free
     turns (roughly a quarter) are dropped BEFORE the shuffle."""
 
-    def __init__(self, num_buckets: int = 32) -> None:
+    def __init__(self, num_buckets: int = 32,
+                 skip_buckets: frozenset = frozenset()) -> None:
         from .fastpath import BatchKgExtractor
 
         self.ex = BatchKgExtractor()
         self.num_buckets = num_buckets
+        # completed buckets on a resume — filtered INSIDE the UDF so
+        # no intermediate empty block can skip the actor and leak the
+        # transcript schema into the bucket shuffle (fastpath note)
+        self.skip_buckets = frozenset(skip_buckets)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .fastpath import extract_packs
 
-        return extract_packs(self.ex, batch, self.num_buckets)
+        return extract_packs(self.ex, batch, self.num_buckets,
+                             self.skip_buckets)
 
 
 _ENTITY_SCHEMA = pa.schema(
@@ -683,21 +703,16 @@ def run_kg_pipeline(
             except FileNotFoundError:
                 pass
 
-    def keep(t: pa.Table) -> pa.Table:
-        mask = [
-            fnv_bucket(c, num_buckets) not in done for c in t["conv_id"].to_pylist()
-        ]
-        return t.filter(pa.array(mask))
-
     ds = read_transcripts(input_path)
-    if done:
-        # resume only — a fresh run has nothing to filter (the stage
-        # fuses with the extract actors either way, so this is about
-        # plan clarity, not a data copy)
-        ds = ds.map_batches(keep, batch_format="pyarrow")
+    # the resume keep-filter rides inside the extract UDF (see
+    # KgTurnProcessor.__init__): a separate map_batches(keep) stage
+    # emitted 0-row transcript-schema blocks once a block's buckets
+    # were all complete, Ray skipped the downstream UDF on them, and
+    # the schema-less block crashed the bucket hash shuffle
     turns = ds.map_batches(
         KgTurnProcessor,
-        fn_constructor_kwargs={"num_buckets": num_buckets},
+        fn_constructor_kwargs={"num_buckets": num_buckets,
+                               "skip_buckets": frozenset(done)},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=_pool_size(concurrency),
     )
@@ -750,6 +765,23 @@ def run_kg_pipeline(
             concurrency=_cpus(),
         )
         stage_a = {r["bucket"]: r["rows"] for r in metrics.iter_rows()}
+        # a bucket no conversation hashes into produces no group and
+        # so no manifest — but it IS complete (zero rows). Without
+        # this, a fully-finished tiny/skewed run never reaches
+        # done == num_buckets and every resume recomputes forever.
+        for b in range(num_buckets):
+            if b in done or b in stage_a:
+                continue
+            man = {"bucket": b, "input": input_path, "fingerprint": meta,
+                   "num_buckets": num_buckets, "pack_rows": 0,
+                   "triple_rows": 0, "complete": True}
+            mtmp = os.path.join(_manifest_dir(out_dir),
+                                f"bucket-{b}.json.tmp")
+            mfin = os.path.join(_manifest_dir(out_dir),
+                                f"bucket-{b}.json")
+            with open(mtmp, "w") as f:
+                json.dump(man, f)
+            os.replace(mtmp, mfin)
         if prof:
             print(f"[prof] stage_a {_time.perf_counter()-t0:.1f}s", flush=True)
             print(metrics.stats(), flush=True)

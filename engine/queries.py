@@ -3445,6 +3445,10 @@ def events_user_paths(sf_dir: str, n: int = 8) -> pd.DataFrame:
         return d.groupby("user_id", as_index=False).head(n)
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # untyped events don't contribute a path segment (mirrored by
+        # the oracle's WHERE event_type IS NOT NULL; a None reaching
+        # the final '>'.join would crash the fold)
+        df = df[df["event_type"].notna()]
         df = df.assign(ts_ms=df["ts"].astype("datetime64[ms]")
                        .astype("int64"))
         return head_n(df[["user_id", "ts_ms", "event_id",

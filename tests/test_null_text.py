@@ -55,3 +55,55 @@ def test_null_means_empty_doc(ray_session, null_docs_dir):
     red = red.to_pandas() if hasattr(red, "to_pandas") else red
     assert list(red["doc_id"]) == [1, 2, 3, 4]
     assert red.loc[red["doc_id"] == 2, "red_text"].iloc[0] == ""
+
+
+def test_events_user_paths_skips_untyped_events(ray_session, tmp_path):
+    """NULL event_type contributes no path segment (the oracle's
+    WHERE event_type IS NOT NULL) instead of crashing the '>'-join."""
+    import numpy as np
+
+    from engine.queries import events_user_paths
+
+    n = 12
+    tbl = pa.table({
+        "event_id": pa.array(range(1, n + 1), pa.int64()),
+        "ts": pa.array(np.arange(n).astype("datetime64[s]")
+                       .astype("datetime64[us]")),
+        "user_id": pa.array([i % 2 for i in range(n)], pa.int64()),
+        "event_type": pa.array(
+            [None if i == 0 else "t%d" % (i % 3) for i in range(n)],
+            pa.string()),
+        "value": pa.array([float(i) for i in range(n)], pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string())})
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    out = events_user_paths(str(tmp_path))
+    assert len(out) == 2
+    # user 0's first event is untyped -> path starts at the 2nd event
+    assert out.loc[out["user_id"] == 0, "path"].iloc[0].startswith("t2")
+
+
+def test_flagship_survives_null_transcript_text(ray_session, tmp_path):
+    """A NULL transcript turn is an empty turn (no mentions), not a
+    dead KgTurnProcessor stage; the run must also stay resumable
+    (second run resumes every bucket with the same count)."""
+    import glob
+
+    from engine.pipeline import run_kg_pipeline
+    from engine.synth import make_transcripts
+
+    t = os.path.join(str(tmp_path), "t")
+    make_transcripts(t, 8, 3)
+    f = glob.glob(os.path.join(t, "*.parquet"))[0]
+    tbl = pq.read_table(f)
+    txt = tbl["text"].to_pylist()
+    txt[0] = None
+    txt[3] = None
+    tbl = tbl.set_column(tbl.column_names.index("text"), "text",
+                         pa.array(txt, pa.string()))
+    pq.write_table(tbl, f)
+
+    out = os.path.join(str(tmp_path), "kg")
+    r1 = run_kg_pipeline(t, out)
+    r2 = run_kg_pipeline(t, out)
+    assert r1["triples"] == r2["triples"] > 0
+    assert r2["resumed_buckets"]
