@@ -38,12 +38,25 @@ import pyarrow as pa
 
 
 def _matrix(col, dtype=np.float32) -> np.ndarray:
-    """list<float> arrow column -> (n, d) matrix, zero-copy-ish."""
+    """list<float> arrow column -> (n, d) matrix, zero-copy-ish.
+
+    Guards raggedness BEFORE the reshape: a ragged or null-bearing
+    list column whose total length still divides n would reshape
+    cleanly and silently shift every later vector one slot — wrong
+    similarities with no error. The offsets diff is O(n) int ops;
+    null entries show up as zero-width rows and are caught too."""
     arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype)
     n = len(arr)
+    if n and hasattr(arr, "offsets"):
+        w = np.diff(arr.offsets.to_numpy())
+        if not (w == w[0]).all():
+            raise ValueError(
+                "embedding column is ragged or has nulls (row widths "
+                f"{int(w.min())}..{int(w.max())}); a fixed dimension "
+                "is required")
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype)
     return flat.reshape(n, -1)
 
 

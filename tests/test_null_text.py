@@ -107,3 +107,24 @@ def test_flagship_survives_null_transcript_text(ray_session, tmp_path):
     r2 = run_kg_pipeline(t, out)
     assert r1["triples"] == r2["triples"] > 0
     assert r2["resumed_buckets"]
+
+
+def test_matrix_refuses_ragged_and_null_embeddings():
+    """A ragged list column whose total length still divides n would
+    reshape cleanly and silently shift every later vector — _matrix
+    must raise instead (null rows are zero-width and caught too)."""
+    import numpy as np
+
+    from engine.simsearch import _matrix
+
+    ok = _matrix(pa.array([[1.0, 2.0], [3.0, 4.0]],
+                          pa.list_(pa.float32())))
+    assert ok.shape == (2, 2)
+    ragged = pa.array([[1.0], [2.0, 3.0, 4.0], [5.0, 6.0], [7.0, 8.0]],
+                      pa.list_(pa.float32()))
+    with pytest.raises(ValueError, match="ragged"):
+        _matrix(ragged)
+    nulled = pa.array([[1.0, 2.0], None, [3.0, 4.0]],
+                      pa.list_(pa.float32()))
+    with pytest.raises(ValueError, match="ragged"):
+        _matrix(nulled)
