@@ -1453,13 +1453,18 @@ def _ps_cost_cents(partkey, suppkey) -> np.ndarray:
 
 
 def _pack_pair(partkey, suppkey) -> np.ndarray:
-    """(partkey, suppkey) -> one int64 exchange key. Same 32-bit guard
-    discipline as the triangle-closure pack (engine/graphalgo.py)."""
+    """(partkey, suppkey) -> one int64 exchange key. Same [0, 2^31)
+    guard as the triangle-closure pack (engine/queries.py,
+    parts_coorder_triangles): a partkey >= 2^31 would overflow the
+    int64 shift, and the arithmetic right-shift in the unpack would
+    then sign-extend to a negative partkey — remap ids first."""
     pk = np.asarray(partkey, np.int64)
     sk = np.asarray(suppkey, np.int64)
-    if len(pk) and (int(pk.max()) >= 2**32 or int(sk.max()) >= 2**32
+    if len(pk) and (int(pk.max()) >= 2**31 or int(sk.max()) >= 2**31
                     or int(pk.min()) < 0 or int(sk.min()) < 0):
-        raise ValueError("partsupp pack: key outside [0, 2^32)")
+        raise ValueError(
+            "partsupp pack: key outside [0, 2^31) breaks the packed "
+            "(partkey<<32)|suppkey exchange key — remap ids first")
     return (pk << np.int64(32)) | sk
 
 

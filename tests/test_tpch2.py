@@ -211,10 +211,17 @@ def test_pack_pair_guards_32bit_keys():
 
     ok = _pack_pair(np.array([1, 2]), np.array([3, 4]))
     assert ok.tolist() == [(1 << 32) | 3, (2 << 32) | 4]
+    # 2^31 would overflow the int64 shift and sign-extend on unpack
     with pytest.raises(ValueError):
-        _pack_pair(np.array([2**32]), np.array([0]))
+        _pack_pair(np.array([2**31]), np.array([0]))
+    with pytest.raises(ValueError):
+        _pack_pair(np.array([0]), np.array([2**31]))
     with pytest.raises(ValueError):
         _pack_pair(np.array([0]), np.array([-1]))
+    # the largest legal pair round-trips through pack/unpack exactly
+    big = _pack_pair(np.array([2**31 - 1]), np.array([2**31 - 1]))
+    assert int(big[0]) >> 32 == 2**31 - 1
+    assert int(big[0]) & 0xFFFFFFFF == 2**31 - 1
 
 
 def test_q2_keeps_all_min_cost_ties(ray_session):
