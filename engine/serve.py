@@ -127,6 +127,11 @@ def handle_command(models: _Models, command: str, payload: dict,
     levels = _ENDPOINT_LEVELS[command]
     docs = []
     for toks in sents:
+        # the Doc path re-joins and re-tokenizes; faithful because the
+        # engine tokenizer is idempotent on its own output (space-
+        # separated tokens round-trip). Caller tokens containing
+        # internal whitespace would re-split — same as the reference's
+        # space-joined create_input_file round-trip (nemo.py:34-49).
         text = " ".join(toks)
         doc = to_doc(text, sp, verbosity=verbosity,
                      include_lattices=include_lattices)
