@@ -80,7 +80,7 @@ _NEW_R5_CONTINUATION = [
     # so they go FIRST in the driver's 50-entry check window
     "q2_min_cost_supplier", "q9_product_profit",
     "q11_important_stock", "events_user_paths", "embed_dim_stats",
-    "orders_daily_cum_share",
+    "orders_daily_cum_share", "customer_rfm_segments",
     "q4_order_priority", "q12_priority_by_flag",
     "q13_order_distribution", "q14_promo_revenue",
     "q15_top_supplier", "q16_part_supplier_counts",
@@ -1907,6 +1907,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE cents * (SELECT COUNT(*) FROM v)
                   > 2 * (SELECT SUM(cents) FROM v)
             ORDER BY value DESC, ps_partkey""",
+        # RFM customer segmentation: 8 R/F/M classes from exact-
+        # integer per-customer folds (max orderdate / count / cents)
+        "customer_rfm_segments": """
+            WITH rfm AS (
+                SELECT o_custkey,
+                       date_diff('day', MAX(o_orderdate),
+                                 TIMESTAMP '2002-01-01') AS rec_days,
+                       COUNT(*) AS cnt,
+                       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                           AS cents
+                FROM orders GROUP BY 1),
+            seg AS (
+                SELECT CASE WHEN rec_days <= 300
+                            THEN 'R1' ELSE 'R0' END ||
+                       CASE WHEN cnt >= 11
+                            THEN 'F1' ELSE 'F0' END ||
+                       CASE WHEN cents >= 250000000
+                            THEN 'M1' ELSE 'M0' END AS segment,
+                       cents
+                FROM rfm)
+            SELECT segment, COUNT(*) AS n_customers,
+                   CAST(SUM(cents) AS DOUBLE) / 100 AS revenue
+            FROM seg GROUP BY segment ORDER BY segment""",
         # cumulative revenue share by order day (running-total window
         # over a calendar-bounded daily fold; exact int64 cents)
         "orders_daily_cum_share": """

@@ -4274,6 +4274,75 @@ def orders_daily_cum_share(sf_dir: str) -> pd.DataFrame:
 QUERIES["orders_daily_cum_share"] = orders_daily_cum_share
 
 
+def customer_rfm_segments(sf_dir: str, ref_day: str = "2002-01-01",
+                          recent_days: int = 300,
+                          min_orders: int = 11,
+                          min_cents: int = 250_000_000) -> pd.DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary — the
+    classic lifecycle-marketing cut): per customer max(orderdate),
+    order count, and exact cents spend fold through ONE grouped_fold
+    keyed on custkey (mergeable partials: max / sum / sum), then each
+    bucket maps its customers onto the 8 R/F/M classes and emits
+    per-segment counts — so the gather is EIGHT rows however many
+    customers exist. Recency compares whole days against a fixed
+    reference date; all three thresholds are exact-integer, so a
+    boundary customer can never flip with partial order."""
+    from .shuffle import grouped_fold
+
+    ref = int(np.datetime64(ref_day, "D").astype(np.int64))
+    ds = _rp(sf_dir, "orders",
+             ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def combine(t: pa.Table) -> pd.DataFrame:
+        day = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        cents = np.rint(t["o_totalprice"].to_numpy() * 100).astype(
+            np.int64)
+        df = pd.DataFrame({
+            "o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "day": day, "cents": cents})
+        g = df.groupby("o_custkey", as_index=False).agg(
+            day=("day", "max"), cnt=("cents", "size"),
+            cents=("cents", "sum"))
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("o_custkey", as_index=False).agg(
+            day=("day", "max"), cnt=("cnt", "sum"),
+            cents=("cents", "sum"))
+        rec = ref - m["day"].to_numpy(np.int64)
+        seg = (np.where(rec <= recent_days, "R1", "R0").astype(object)
+               + np.where(m["cnt"].to_numpy(np.int64) >= min_orders,
+                          "F1", "F0")
+               + np.where(m["cents"].to_numpy(np.int64) >= min_cents,
+                          "M1", "M0"))
+        out = pd.DataFrame({"segment": seg,
+                            "n": np.ones(len(m), np.int64),
+                            "cents": m["cents"].to_numpy(np.int64)})
+        return out.groupby("segment", as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum"))
+
+    parts = grouped_fold(
+        ds.map_batches(combine, batch_format="pyarrow"),
+        "o_custkey", fold,
+        rows_hint=_tbl_rows(sf_dir, "orders")).to_pandas()
+    if parts.empty or "segment" not in parts.columns:
+        return pd.DataFrame({
+            "segment": pd.Series([], dtype="object"),
+            "n_customers": pd.Series([], dtype="int64"),
+            "revenue": pd.Series([], dtype="float64")})
+    agg = parts.groupby("segment", as_index=False).agg(
+        n_customers=("n", "sum"), cents=("cents", "sum"))
+    agg["revenue"] = agg["cents"].to_numpy(np.int64) / 100.0
+    return (agg.sort_values("segment").reset_index(drop=True)
+            [["segment", "n_customers", "revenue"]])
+
+
+QUERIES["customer_rfm_segments"] = customer_rfm_segments
+
+
 def docs_token_entropy(sf_dir: str) -> pd.DataFrame:
     """Per-doc Shannon entropy (log2) of the token distribution — the
     repetitiveness / gibberish quality signal (low entropy = boiler-

@@ -474,3 +474,26 @@ def test_orders_daily_cum_share_bucket_exchange(ray_session,
     pd.testing.assert_frame_equal(fast, dist)
     cs = fast["cum_share"].to_numpy()
     assert (np.diff(cs) >= 0).all() and cs[-1] == 1.0
+
+
+def test_rfm_segments_bucket_exchange_and_totals(ray_session,
+                                                 monkeypatch):
+    """The forced bucketed grouped_fold path must yield identical
+    segment counts, and the 8 classes must partition every customer
+    exactly once (counts sum to the customer footer)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from engine.queries import customer_rfm_segments
+
+    sf = "/root/testdata/sf0.001"
+    fast = customer_rfm_segments(sf)
+    monkeypatch.setenv("GRAFT_GSUM_DRIVER", "0")
+    dist = customer_rfm_segments(sf)
+    pd.testing.assert_frame_equal(fast, dist)
+    import os as _os
+
+    n_cust = pq.read_table(
+        _os.path.join(sf, "orders.parquet"),
+        columns=["o_custkey"]).column(0).to_pandas().nunique()
+    assert int(fast["n_customers"].sum()) == n_cust
