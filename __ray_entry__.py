@@ -81,6 +81,7 @@ _NEW_R5_CONTINUATION = [
     "q2_min_cost_supplier", "q9_product_profit",
     "q11_important_stock", "events_user_paths", "embed_dim_stats",
     "orders_daily_cum_share", "customer_rfm_segments",
+    "events_value_cume_dist",
     "q4_order_priority", "q12_priority_by_flag",
     "q13_order_distribution", "q14_promo_revenue",
     "q15_top_supplier", "q16_part_supplier_counts",
@@ -1907,6 +1908,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE cents * (SELECT COUNT(*) FROM v)
                   > 2 * (SELECT SUM(cents) FROM v)
             ORDER BY value DESC, ps_partkey""",
+        # per-row cume_dist window (rank CDF) via the exact bounded
+        # histogram + broadcast lookup — no global value sort
+        "events_value_cume_dist": """
+            SELECT event_id, event_type, value,
+                   cume_dist() OVER (PARTITION BY event_type
+                                     ORDER BY value) AS cume_dist
+            FROM events ORDER BY event_id""",
         # RFM customer segmentation: 8 R/F/M classes from exact-
         # integer per-customer folds (max orderdate / count / cents)
         "customer_rfm_segments": """

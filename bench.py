@@ -152,6 +152,7 @@ def run_bench() -> dict:
         "q2_min_cost_supplier", "q9_product_profit",
         "q11_important_stock", "events_user_paths", "embed_dim_stats",
         "orders_daily_cum_share", "customer_rfm_segments",
+        "events_value_cume_dist",
     ]
     per_query = {}
     if os.environ.get("GRAFT_SKIP_QUERIES") == "1":

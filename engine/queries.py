@@ -4343,6 +4343,67 @@ def customer_rfm_segments(sf_dir: str, ref_day: str = "2002-01-01",
 QUERIES["customer_rfm_segments"] = customer_rfm_segments
 
 
+def events_value_cume_dist(sf_dir: str) -> pd.DataFrame:
+    """Per-row cume_dist() OVER (PARTITION BY type ORDER BY value) —
+    the rank-window shape ntile/quantiles don't cover — WITHOUT a
+    global sort: ONE grouped_sum builds the exact per-(type, value)
+    histogram (bounded by DISTINCT values, the events_value_quantiles
+    assumption), the driver folds it into per-type sorted values +
+    cumulative counts (a few KB), broadcasts it, and a second
+    stateless pass maps every event through a searchsorted lookup.
+    cume_dist = (rows with value <= v) / type_total — both exact
+    int64, divided once in float64, bit-identical to the oracle's
+    window kernel."""
+    import ray
+
+    from .shuffle import grouped_sum
+
+    ds = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "value"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    hist = grouped_sum(
+        ds.map_batches(combine, batch_format="pandas"),
+        ["event_type", "value"], "n",
+        rows_hint=_tbl_rows(sf_dir, "events")).to_pandas()
+    if hist.empty or "event_type" not in hist.columns:
+        return pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="object"),
+            "value": pd.Series([], dtype="float64"),
+            "cume_dist": pd.Series([], dtype="float64")})
+    cdfs = {}
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("value")
+        cdfs[et] = (g["value"].to_numpy(np.float64),
+                    g["n"].to_numpy(np.int64).cumsum())
+    ref = ray.put(cdfs)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        cd = ray.get(ref)
+        out = np.empty(len(df), np.float64)
+        v = df["value"].to_numpy(np.float64)
+        for et, idx in df.groupby("event_type").indices.items():
+            vals, cum = cd[et]
+            total = float(cum[-1])
+            pos = np.searchsorted(vals, v[idx], side="right") - 1
+            out[idx] = cum[pos].astype(np.float64) / total
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "event_type": df["event_type"].to_numpy(),
+            "value": v, "cume_dist": out})
+
+    res = (ds.map_batches(attach, batch_format="pandas").to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    res["event_id"] = res["event_id"].astype("int64")
+    return res
+
+
+QUERIES["events_value_cume_dist"] = events_value_cume_dist
+
+
 def docs_token_entropy(sf_dir: str) -> pd.DataFrame:
     """Per-doc Shannon entropy (log2) of the token distribution — the
     repetitiveness / gibberish quality signal (low entropy = boiler-

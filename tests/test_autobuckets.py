@@ -497,3 +497,24 @@ def test_rfm_segments_bucket_exchange_and_totals(ray_session,
         _os.path.join(sf, "orders.parquet"),
         columns=["o_custkey"]).column(0).to_pandas().nunique()
     assert int(fast["n_customers"].sum()) == n_cust
+
+
+def test_cume_dist_bucket_exchange_and_bounds(ray_session,
+                                              monkeypatch):
+    """Forced bucketed histogram path must yield the identical CDF;
+    every cume_dist lies in (0, 1] and each type's max value maps to
+    exactly 1.0."""
+    import pandas as pd
+
+    from engine.queries import events_value_cume_dist
+
+    sf = "/root/testdata/sf0.001"
+    fast = events_value_cume_dist(sf)
+    monkeypatch.setenv("GRAFT_GSUM_DRIVER", "0")
+    dist = events_value_cume_dist(sf)
+    pd.testing.assert_frame_equal(fast, dist)
+    cd = fast["cume_dist"]
+    assert ((cd > 0) & (cd <= 1.0)).all()
+    top = fast.loc[fast.groupby("event_type")["value"].idxmax(),
+                   "cume_dist"]
+    assert (top == 1.0).all()
